@@ -1,0 +1,189 @@
+"""Sharding layer on a virtual 8-device CPU mesh: lookup exchange parity and
+sharded-vs-single-chip train-step parity (SURVEY §4 new-framework strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tests.conftest import make_batch
+from two_tower_models_tpu.config import (
+    HistoryEncoderConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from two_tower_models_tpu.models import two_tower
+from two_tower_models_tpu.parallel.embedding import sharded_embedding_lookup
+from two_tower_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from two_tower_models_tpu.parallel.sharding import shard_state
+from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+from two_tower_models_tpu.training.state import create_train_state
+from two_tower_models_tpu.training.step import make_train_step
+
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+# debias=BOTH makes nuv param-dependent, so the global max-normalization and
+# the debias aux losses are on the differentiated path (a pmax here once broke
+# only under grad — keep this config adversarial).
+from two_tower_models_tpu.config import Debias
+
+CFG = ModelConfig(
+    user_id_hash_size=64,
+    user_id_embedding_dim=16,
+    item_id_hash_size=64,
+    item_id_embedding_dim=16,
+    user_features_size=8,
+    item_features_size=8,
+    feature_hidden_dim=32,
+    user_value_weights=(1.0, 0.5),
+    history_len=8,
+    history_encoder=HistoryEncoderConfig(num_heads=2, num_layers=1),
+    debias=Debias.BOTH,
+)
+
+
+@requires_8
+@pytest.mark.parametrize("strategy", ["psum", "all_to_all"])
+def test_sharded_lookup_matches_take(strategy):
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    vocab, dim, B = 64, 16, 24
+    table = jax.random.normal(jax.random.key(0), (vocab, dim))
+    ids = jax.random.randint(jax.random.key(1), (B,), 0, vocab)
+
+    def f(table_shard, ids):
+        return sharded_embedding_lookup(table_shard, ids, MODEL_AXIS, strategy)
+
+    mapped = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    out = mapped(table, ids)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
+
+
+@requires_8
+@pytest.mark.parametrize("strategy", ["psum", "all_to_all"])
+def test_sharded_lookup_gradient_matches(strategy):
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+    vocab, dim, B = 32, 8, 16
+    table = jax.random.normal(jax.random.key(0), (vocab, dim))
+    # include duplicate ids to exercise scatter-add in the backward
+    ids = jnp.concatenate(
+        [jax.random.randint(jax.random.key(1), (B - 4,), 0, vocab), jnp.array([3, 3, 3, 7])]
+    )
+
+    def loss_sharded(table):
+        def f(table_shard, ids):
+            emb = sharded_embedding_lookup(table_shard, ids, MODEL_AXIS, strategy)
+            return jnp.sum(emb**2)
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=(P(MODEL_AXIS, None), P()), out_specs=P(),
+            check_vma=False,
+        )(table, ids)
+
+    def loss_ref(table):
+        return jnp.sum(jnp.take(table, ids, axis=0) ** 2)
+
+    g_sharded = jax.grad(loss_sharded)(table)
+    g_ref = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (1, 4)])
+def test_sharded_train_step_parity_with_single_chip(mesh_shape):
+    """One sharded step == one single-chip step (same init, same batch)."""
+    d, m = mesh_shape
+    mesh = make_mesh(MeshConfig(data=d, model=m))
+    mesh_cfg = MeshConfig(data=d, model=m, global_negatives=True)
+    tcfg = TrainConfig(batch_size=32, learning_rate=1e-3)
+
+    state = create_train_state(jax.random.key(0), CFG, tcfg)
+    batch = make_batch(jax.random.key(1), CFG, 32)
+
+    # single-chip reference step (no data/idx indirection: call loss directly)
+    ref_step = make_train_step(CFG, TrainConfig(batch_size=32, donate_state=False))
+    # build a fake "data" with exactly this batch to reuse the step fn
+    from two_tower_models_tpu.training.data import SyntheticRecData
+
+    data = SyntheticRecData(
+        user_ids=batch.user_id,
+        user_features=batch.user_features,
+        user_history=batch.user_history,
+        item_ids=batch.item_id,
+        item_features=batch.item_features,
+        positions=batch.position,
+        labels=batch.labels,
+        catalog_ids=jnp.arange(4),
+        catalog_features=jnp.zeros((4, CFG.item_features_size)),
+    )
+    ref_state, ref_metrics = ref_step(state, data, jnp.arange(32))
+
+    orig_params = jax.device_get(state.params)  # host copy (step donates buffers)
+    sharded = shard_state(state, mesh)
+    step = make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg)
+    new_state, metrics = step(sharded, batch)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    # the step applied an update everywhere params had gradient signal
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(new_state.params),
+        orig_params,
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+@requires_8
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 4)])
+def test_sharded_gradients_match_single_chip(mesh_shape):
+    """Gradients through shard_map (collectives + lookup exchange) equal the
+    single-chip gradients.  (Post-Adam params are NOT compared: Adam's first
+    step normalizes g/|g|, amplifying float noise on near-zero grads.)"""
+    from two_tower_models_tpu.parallel.train_step import sharded_loss_fn
+
+    d, m = mesh_shape
+    mesh = make_mesh(MeshConfig(data=d, model=m))
+    mesh_cfg = MeshConfig(data=d, model=m, global_negatives=True)
+    params = two_tower.init_params(jax.random.key(0), CFG)
+    batch = make_batch(jax.random.key(1), CFG, 32)
+
+    batch_specs = type(batch)(*([P(DATA_AXIS)] * 7))
+
+    def loss_sharded(params, batch):
+        from two_tower_models_tpu.parallel.sharding import param_pspecs
+
+        return jax.shard_map(
+            lambda p, b: sharded_loss_fn(p, CFG, mesh_cfg, b)[0],
+            mesh=mesh,
+            in_specs=(param_pspecs(params), batch_specs),
+            out_specs=P(),
+            check_vma=False,
+        )(params, batch)
+
+    g_sharded = jax.grad(loss_sharded)(params, batch)
+    g_ref = jax.grad(lambda p: two_tower.train_loss(p, CFG, batch)[0])(params)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(g_sharded)
+    flat_r = {jax.tree_util.keystr(p): g for p, g in jax.tree_util.tree_leaves_with_path(g_ref)}
+    for path, g in flat_s:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(flat_r[key]), rtol=5e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {key}",
+        )

@@ -1,0 +1,279 @@
+"""Typed configuration tree for the TPU-native two-tower framework.
+
+The reference (gauravchak/two_tower_models) expresses its model zoo as a
+single-inheritance chain of seven classes rooted at ``TwoTowerBaseRetrieval``
+(two_tower_base_retrieval.py:25), with hyperparameters hardcoded in
+constructors (hidden width 256 at two_tower_base_retrieval.py:76-80, attention
+heads/layers at two_tower_with_user_history_encoder.py:64-70, position table
+size 100 at two_tower_with_position_debiased_weights.py:72-74).
+
+Here every variant is a point in one explicit config space: a frozen dataclass
+selects which modules and loss terms are active.  This keeps the training step
+a single pure function of ``(params, batch, config)`` that XLA traces once —
+no Python polymorphism inside ``jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class Debias:
+    """Which example-weight debiasing head is active.
+
+    Mirrors the reference's ``debias_net_user_value`` hook family:
+      NONE      -> identity hook (two_tower_base_retrieval.py:251-277)
+      POSITION  -> position table  (two_tower_with_position_debiased_weights.py:76-113)
+      USER      -> linear-on-user-embedding (two_tower_with_user_debiased_weights.py:100-135)
+      BOTH      -> combined (two_tower_with_debiasing.py:77-129)
+    """
+
+    NONE = "none"
+    POSITION = "position"
+    USER = "user"
+    BOTH = "both"
+
+    ALL = (NONE, POSITION, USER, BOTH)
+
+
+@dataclass(frozen=True)
+class HistoryEncoderConfig:
+    """User-history encoder (reference: user_history_encoder.py:11-124)."""
+
+    num_heads: int = 4
+    num_layers: int = 3
+    use_positional_encoding: bool = True
+
+
+@dataclass(frozen=True)
+class LightRankerConfig:
+    """Two-stage retrieval: light ranker over MIPS candidates.
+
+    Reference: two_tower_plus_light_ranker.py:13-340.
+    ``num_mips_items`` (NI) candidates are retrieved and reranked down to
+    ``ModelConfig.num_items`` by a pointwise multi-task head.
+    ``num_ranker_user_embeddings`` (NU) parallel user embeddings feed
+    target-aware attention.
+    """
+
+    num_mips_items: int = 50
+    num_ranker_user_embeddings: int = 4
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full model-space configuration.
+
+    Dimension glossary (kept identical to the reference's comments):
+      B batch, T #tasks, DU user-id embed dim, DI item-id embed dim,
+      IU/II user/item dense-feature size, H history length, C corpus size,
+      NI retrieved items, NU #ranker user embeddings.
+    """
+
+    # --- embedding tables ---
+    user_id_hash_size: int = 1024
+    user_id_embedding_dim: int = 32  # DU
+    item_id_hash_size: int = 1024
+    item_id_embedding_dim: int = 32  # DI (== tower output dim == MIPS dim)
+
+    # --- dense features ---
+    user_features_size: int = 8  # IU
+    item_features_size: int = 8  # II
+    feature_hidden_dim: int = 256  # hidden width of the feature MLPs
+
+    # --- labels / value model ---
+    user_value_weights: Tuple[float, ...] = (1.0,)  # [T]
+
+    # --- retrieval ---
+    num_items: int = 10  # items returned per query at inference
+
+    # --- user history ---
+    history_len: int = 10  # H
+    history_encoder: Optional[HistoryEncoderConfig] = None
+
+    # --- debiasing ---
+    debias: str = Debias.NONE
+    position_table_size: int = 100
+    # clamp floors, matching the reference's scattered epsilons
+    position_debias_min: float = 1e-3
+    user_debias_min: float = 1e-1
+    combined_debias_min: float = 1e-3
+    nuv_min: float = 1e-6
+
+    # --- light ranker / KD / reward model ---
+    light_ranker: Optional[LightRankerConfig] = None
+    # knowledge distillation: light ranker emits T extra aux logits trained
+    # against logged soft labels (labels widen to [B, 2T]);
+    # reference intent: two_tower_plus_light_ranker_plus_main_ranker_kd.py:10-19
+    kd: bool = False
+    kd_loss_weight: float = 1.0
+    # ranker-as-reward-model alignment KL
+    # reference intent: two_tower_base_plus_main_ranker_reward_model.py:113-122
+    reward_model: bool = False
+    reward_model_loss_weight: float = 1.0
+
+    # --- numerics ---
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # set "bfloat16" for TPU MXU throughput
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.user_value_weights)
+
+    @property
+    def user_tower_input_dim(self) -> int:
+        base = 2 * self.user_id_embedding_dim
+        if self.history_encoder is not None:
+            base += 2 * self.item_id_embedding_dim
+        return base
+
+    @property
+    def pdtype(self):
+        return jnp.dtype(self.param_dtype)
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    def validate(self) -> "ModelConfig":
+        if self.debias not in Debias.ALL:
+            raise ValueError(f"debias must be one of {Debias.ALL}, got {self.debias!r}")
+        if self.debias != Debias.NONE and self.history_encoder is None:
+            # The reference's debias variants all sit on top of the history
+            # tower (two_tower_with_position_debiased_weights.py:17); we keep
+            # that composition legal but don't require it.  No error.
+            pass
+        if self.kd and self.light_ranker is None:
+            raise ValueError("kd=True requires a light_ranker config")
+        if self.light_ranker is not None and self.history_encoder is None:
+            raise ValueError(
+                "light_ranker requires history_encoder (ranker user tower input "
+                "includes the history summary, two_tower_plus_light_ranker.py:71-82)"
+            )
+        if self.history_encoder is not None:
+            if self.item_id_embedding_dim % self.history_encoder.num_heads != 0:
+                raise ValueError("item_id_embedding_dim must divide evenly by num_heads")
+        return self
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.
+
+    axes: ``data`` (batch sharding / DP) and ``model`` (embedding-table row
+    sharding; optional TP of tower MLPs).  On a single chip both are 1.
+    """
+
+    data: int = 1
+    model: int = 1
+    # When True the train step runs under shard_map with explicit collectives
+    # (all_to_all embedding exchange, all_gather negatives, psum grads).
+    # When False, GSPMD (jit + NamedSharding) inserts collectives.
+    explicit_collectives: bool = False
+    # Share in-batch negatives across the data axis (global [B_local, B_global]
+    # logit matrix instead of per-shard [B_local, B_local]).
+    global_negatives: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Synthetic dataset (reference: train/train.py:20-79, with the label-shape
+    defect fixed: labels are [B, T], not [B])."""
+
+    num_samples: int = 1000
+    num_users: int = 100
+    num_items: int = 200  # corpus size C
+    feature_dim: int = 8
+    history_len: int = 10
+    num_tasks: int = 1
+    max_position: int = 10
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    num_epochs: int = 2
+    learning_rate: float = 1e-3
+    seed: int = 42
+    log_every: int = 10
+    eval_every: int = 0  # steps; 0 = only at epoch end
+    eval_top_k: int = 100
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # steps; 0 = disabled
+    profile_dir: Optional[str] = None
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# Presets — one per reference model class (BASELINE.json "configs").
+# ---------------------------------------------------------------------------
+
+def _hist() -> HistoryEncoderConfig:
+    return HistoryEncoderConfig()
+
+
+def preset(name: str, **overrides) -> ModelConfig:
+    """Named presets mirroring the reference model zoo.
+
+    two_tower_base_retrieval          -> base towers, no history, no debias
+    two_tower_with_user_history_encoder
+    two_tower_with_position_debiased_weights
+    two_tower_with_user_debiased_weights
+    two_tower_with_debiasing
+    two_tower_plus_light_ranker
+    two_tower_plus_light_ranker_kd
+    two_tower_with_main_ranker_reward
+    """
+    presets = {
+        "two_tower_base_retrieval": dict(),
+        "two_tower_with_user_history_encoder": dict(history_encoder=_hist()),
+        "two_tower_with_position_debiased_weights": dict(
+            history_encoder=_hist(), debias=Debias.POSITION
+        ),
+        "two_tower_with_user_debiased_weights": dict(
+            history_encoder=_hist(), debias=Debias.USER
+        ),
+        "two_tower_with_debiasing": dict(history_encoder=_hist(), debias=Debias.BOTH),
+        "two_tower_plus_light_ranker": dict(
+            history_encoder=_hist(), debias=Debias.BOTH, light_ranker=LightRankerConfig()
+        ),
+        "two_tower_plus_light_ranker_kd": dict(
+            history_encoder=_hist(),
+            debias=Debias.BOTH,
+            light_ranker=LightRankerConfig(),
+            kd=True,
+        ),
+        "two_tower_with_main_ranker_reward": dict(
+            history_encoder=_hist(), debias=Debias.BOTH, reward_model=True
+        ),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(presets)}")
+    kwargs = dict(presets[name])
+    kwargs.update(overrides)
+    return ModelConfig(**kwargs).validate()
+
+
+PRESET_NAMES = (
+    "two_tower_base_retrieval",
+    "two_tower_with_user_history_encoder",
+    "two_tower_with_position_debiased_weights",
+    "two_tower_with_user_debiased_weights",
+    "two_tower_with_debiasing",
+    "two_tower_plus_light_ranker",
+    "two_tower_plus_light_ranker_kd",
+    "two_tower_with_main_ranker_reward",
+)

@@ -1,0 +1,68 @@
+"""Minimal pytree NN primitives.
+
+Params are plain nested dicts of ``jnp.ndarray`` — fully transparent to
+``jax.tree_util``, ``optax``, ``orbax``, and ``NamedSharding`` annotation.
+No module framework: every layer is an ``init(key, ...) -> params`` plus an
+``apply(params, x) -> y`` pair of pure functions, so the whole model stays a
+single traced computation under ``jit``/``pjit``.
+
+Initialization follows the same distributions PyTorch defaults to (the
+reference relies on them implicitly): Linear weights/biases ~
+U(-1/sqrt(fan_in), 1/sqrt(fan_in)); Embedding ~ N(0, 1).  This keeps loss
+curves statistically comparable with the reference without copying any code.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
+    """Dense layer params. Weight stored [in_dim, out_dim] (x @ W + b) — the
+    natural layout for XLA; no transpose at apply time."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, jnp.float32))
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def linear_apply(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b.astype(y.dtype)
+
+
+def mlp_init(key, dims: Sequence[int], dtype=jnp.float32) -> list:
+    """MLP with ReLU between layers (reference feature arch:
+    two_tower_base_retrieval.py:76-80 = Linear(IU,256)/ReLU/Linear(256,DU))."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        linear_init(k, din, dout, dtype)
+        for k, din, dout in zip(keys, dims[:-1], dims[1:])
+    ]
+
+
+def mlp_apply(params: list, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    for i, layer in enumerate(params):
+        x = linear_apply(layer, x, compute_dtype)
+        if i < len(params) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def embedding_init(key, vocab: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """ID-embedding table ~ N(0,1) (torch nn.Embedding default)."""
+    return jax.random.normal(key, (vocab, dim), dtype)
+
+
+def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Replicated-table lookup.  For row-sharded tables use
+    two_tower_models_tpu.parallel.embedding.sharded_embedding_lookup."""
+    return jnp.take(table, ids, axis=0)

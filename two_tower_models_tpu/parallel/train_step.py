@@ -1,0 +1,241 @@
+"""Multi-chip train step: shard_map with explicit collectives.
+
+Layout (see parallel.sharding): batch split over ``data``; embedding tables
+row-sharded over ``model``; everything else replicated.  Inside the mapped
+function:
+
+  * table lookups go through the explicit sharded-lookup exchange
+    (parallel.embedding) over the ``model`` axis;
+  * the in-batch softmax shares negatives *across* the data axis: item
+    embeddings all-gather over ``data`` so every chip scores its local users
+    against the global batch's items — [B_local, B_global] logits with the
+    positive at column (data_rank * B_local + row).  The softmax denominator
+    therefore spans the global negative pool, matching single-chip semantics
+    exactly (parity-tested on a virtual mesh);
+  * nuv max-normalization and the loss mean reduce over the global batch
+    (pmax / psum over ``data``);
+  * gradients: replicated params psum over ``data``; table-shard grads psum
+    over ``data`` only (each shard owns its rows — no reduction over
+    ``model``, that's the memory win).
+
+GSPMD could derive most of this from NamedShardings; the explicit path exists
+because (a) the all-to-all embedding exchange and loss-axis reductions are
+exactly where GSPMD's choices matter most at scale, and (b) it makes the
+communication pattern auditable and unit-testable on a fake mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from two_tower_models_tpu.config import Debias, MeshConfig, ModelConfig, TrainConfig
+from two_tower_models_tpu.models.history_encoder import history_encoder_apply
+from two_tower_models_tpu.models.two_tower import (
+    Batch,
+    _bce_with_logits,
+    _net_user_value,
+    debias_net_user_value,
+)
+from two_tower_models_tpu.nn.layers import linear_apply, mlp_apply
+from two_tower_models_tpu.parallel.embedding import sharded_embedding_lookup
+from two_tower_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from two_tower_models_tpu.parallel.sharding import state_pspecs
+from two_tower_models_tpu.training.state import TrainState, make_optimizer
+
+_SHARDED_TABLES = ("user_id_table", "item_id_table")
+
+
+def _lookup(params, name, ids, strategy):
+    """Embedding lookup routed through the model-axis exchange for sharded
+    tables, local take for replicated ones."""
+    table = params[name]
+    if name in _SHARDED_TABLES:
+        flat = ids.reshape(-1)
+        out = sharded_embedding_lookup(table, flat, MODEL_AXIS, strategy)
+        return out.reshape(*ids.shape, out.shape[-1])
+    return jnp.take(table, ids, axis=0)
+
+
+def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy):
+    cd = cfg.cdtype
+    uid = _lookup(params, "user_id_table", user_id, strategy)
+    ufeat = mlp_apply(params["user_features_mlp"], user_features, cd)
+    parts = [uid, ufeat]
+    if cfg.history_encoder is not None:
+        hist = _lookup(params, "item_id_table", user_history, strategy)
+        summary = history_encoder_apply(
+            params["history_encoder"], hist, cfg.history_encoder, cd
+        )
+        parts.append(summary.reshape(summary.shape[0], -1))
+    x = jnp.concatenate(parts, axis=-1)
+    return linear_apply(params["user_tower_head"], x, cd)
+
+
+def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy):
+    cd = cfg.cdtype
+    iid = _lookup(params, "item_id_table", item_id, strategy)
+    ifeat = mlp_apply(params["item_features_mlp"], item_features, cd)
+    x = jnp.concatenate([iid, ifeat], axis=-1)
+    return linear_apply(params["item_tower_head"], x, cd)
+
+
+def sharded_loss_fn(
+    params,
+    cfg: ModelConfig,
+    mesh_cfg: MeshConfig,
+    batch: Batch,
+    lookup_strategy: str = "psum",
+):
+    """Per-shard loss with cross-chip negative sharing.  Must run inside
+    shard_map over a ('data', 'model') mesh; batch arrays arrive data-sharded."""
+    user_emb = _user_tower(
+        params, cfg, batch.user_id, batch.user_features, batch.user_history,
+        lookup_strategy,
+    )  # [B_local, DI]
+    item_emb = _item_tower(
+        params, cfg, batch.item_id, batch.item_features, lookup_strategy
+    )  # [B_local, DI]
+
+    b_local = user_emb.shape[0]
+    n_data = jax.lax.axis_size(DATA_AXIS)
+    my_rank = jax.lax.axis_index(DATA_AXIS)
+
+    if mesh_cfg.global_negatives and n_data > 1:
+        # Global negative pool: [n_data * B_local, DI].
+        all_items = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
+        scores = jnp.dot(
+            user_emb, all_items.T, preferred_element_type=jnp.float32
+        )  # [B_local, B_global]
+        pos_col = my_rank * b_local + jnp.arange(b_local)
+    else:
+        scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
+        pos_col = jnp.arange(b_local)
+
+    scores32 = scores.astype(jnp.float32)
+    lse = jax.nn.logsumexp(scores32, axis=-1)
+    pos = jnp.take_along_axis(scores32, pos_col[:, None], axis=1)[:, 0]
+    ce = lse - pos  # [B_local]
+
+    nuv = _net_user_value(cfg, batch.labels)
+    nuv, aux_loss = debias_net_user_value(params, cfg, nuv, batch.position, user_emb)
+    nuv = jnp.clip(nuv, min=cfg.nuv_min)
+    # Max-normalize over the GLOBAL batch (single-chip parity).  all_gather
+    # + max instead of pmax: with a debias head active, nuv is
+    # param-dependent and the normalizer must be differentiable (pmax has no
+    # VJP; all_gather's transpose is psum_scatter).  [B_global] floats over
+    # ICI — negligible.
+    global_max = jnp.max(jax.lax.all_gather(nuv, DATA_AXIS, tiled=True))
+    nuv = nuv / global_max
+
+    # Global mean over data shards; aux losses are per-shard sums -> mean of
+    # shard values matches single-chip (debias MSEs are batch sums, so psum).
+    weighted = ce * nuv
+    loss = (
+        jax.lax.psum(jnp.sum(weighted), DATA_AXIS)
+        / (b_local * n_data)
+        + jax.lax.psum(aux_loss, DATA_AXIS)
+    )
+    metrics = {
+        "softmax_ce": jax.lax.pmean(jnp.mean(ce), DATA_AXIS),
+        "debias_aux_loss": jax.lax.psum(aux_loss, DATA_AXIS),
+        "nuv_mean": jax.lax.pmean(jnp.mean(nuv), DATA_AXIS),
+    }
+    return loss, metrics
+
+
+def make_sharded_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh,
+    mesh_cfg: MeshConfig,
+    lookup_strategy: str = "psum",
+) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
+    """Jitted shard_map train step: (sharded state, global batch) -> updated.
+
+    The returned function expects ``state`` already placed per
+    ``parallel.sharding.shard_state`` and batch arrays shardable on their
+    leading axis over ``data``.
+    """
+    tx = make_optimizer(train_cfg)
+
+    def loss_for_grad(params, batch):
+        loss, metrics = sharded_loss_fn(
+            params, model_cfg, mesh_cfg, batch, lookup_strategy
+        )
+        return loss, metrics
+
+    def per_shard_step(state: TrainState, batch: Batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_for_grad, has_aux=True)(
+            state.params, batch
+        )
+
+        # Gradient reduction: every leaf psums over 'data'.  Sharded-table
+        # grads are already local to their 'model' shard (the lookup exchange
+        # routed contributions home via the collective's transpose); no
+        # reduction over 'model' for them.  Replicated leaves DO need a psum
+        # over 'model' only for contributions generated from model-sharded
+        # inputs — here replicated params consume replicated activations, so
+        # their grads are identical across 'model' and a psum would
+        # over-count; we instead pmean over 'model' to collapse duplicates.
+        def reduce_grad(path, g):
+            names = {p.key if hasattr(p, "key") else str(p) for p in path}
+            g = jax.lax.psum(g, DATA_AXIS)
+            if not (names & set(_SHARDED_TABLES)):
+                g = jax.lax.pmean(g, MODEL_AXIS)
+            return g
+
+        grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=state.rng
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    dummy_state_specs = None  # resolved at call time via closure below
+
+    def build(state: TrainState):
+        specs = state_pspecs(state)
+        batch_specs = Batch(
+            user_id=P(DATA_AXIS),
+            user_features=P(DATA_AXIS),
+            user_history=P(DATA_AXIS),
+            item_id=P(DATA_AXIS),
+            item_features=P(DATA_AXIS),
+            position=P(DATA_AXIS),
+            labels=P(DATA_AXIS),
+        )
+        metric_specs = {
+            "softmax_ce": P(),
+            "debias_aux_loss": P(),
+            "nuv_mean": P(),
+            "loss": P(),
+            "grad_norm": P(),
+        }
+        mapped = jax.shard_map(
+            per_shard_step,
+            mesh=mesh,
+            in_specs=(specs, batch_specs),
+            out_specs=(specs, metric_specs),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    _cache = {}
+
+    def step(state: TrainState, batch: Batch):
+        if "fn" not in _cache:
+            _cache["fn"] = build(state)
+        return _cache["fn"](state, batch)
+
+    return step

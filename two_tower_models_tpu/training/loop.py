@@ -1,0 +1,198 @@
+"""Training driver + CLI.
+
+Equivalent of the reference's ``train/train.py`` (argparse CLI, epoch loop)
+with the systems layer it lacks: jitted state-donating steps, on-device
+metric accumulation, corpus refresh + recall@k eval, jsonl logging, optional
+checkpointing and profiling.
+
+Run:  python -m two_tower_models_tpu.training.loop --preset two_tower_base_retrieval
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from two_tower_models_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    PRESET_NAMES,
+    TrainConfig,
+    preset,
+)
+from two_tower_models_tpu.models.two_tower import Batch
+from two_tower_models_tpu.retrieval.mips import refresh_corpus
+from two_tower_models_tpu.training.data import (
+    epoch_batches,
+    gather_batch,
+    make_synthetic_data,
+)
+from two_tower_models_tpu.training.state import create_train_state
+from two_tower_models_tpu.training.step import make_eval_recall_fn, make_train_step
+from two_tower_models_tpu.utils.logging import JsonlLogger
+
+
+def train(
+    exp: ExperimentConfig, logger: Optional[JsonlLogger] = None
+) -> dict:
+    """Run the experiment; returns summary dict (final loss, recall, timings)."""
+    logger = logger or JsonlLogger()
+    model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
+
+    label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
+    data = make_synthetic_data(data_cfg, label_cols=label_cols)
+    state = create_train_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
+    train_step = make_train_step(model_cfg, train_cfg)
+    recall_fn = make_eval_recall_fn(model_cfg, train_cfg.eval_top_k)
+
+    ckpt_mgr = None
+    if train_cfg.checkpoint_dir:
+        from two_tower_models_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(train_cfg.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+            logger.log("restored", step=int(state.step))
+
+    n_batches = data.num_samples // train_cfg.batch_size
+    logger.log(
+        "start",
+        backend=jax.default_backend(),
+        devices=jax.device_count(),
+        num_batches_per_epoch=n_batches,
+        num_params=sum(p.size for p in jax.tree_util.tree_leaves(state.params)),
+    )
+
+    epoch_losses = []
+    t_train0 = time.monotonic()
+    examples = 0
+    for epoch in range(train_cfg.num_epochs):
+        key = jax.random.fold_in(jax.random.key(train_cfg.seed + 1), epoch)
+        loss_sum = jnp.zeros(())
+        t0 = time.monotonic()
+        for i, idx in enumerate(
+            epoch_batches(key, data.num_samples, train_cfg.batch_size)
+        ):
+            state, metrics = train_step(state, data, idx)
+            loss_sum = loss_sum + metrics["loss"]  # stays on device
+            examples += train_cfg.batch_size
+            if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
+                logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
+            if (
+                ckpt_mgr
+                and train_cfg.checkpoint_every
+                and int(state.step) % train_cfg.checkpoint_every == 0
+            ):
+                ckpt_mgr.save(state)
+        avg_loss = float(loss_sum) / n_batches  # one sync per epoch
+        epoch_losses.append(avg_loss)
+        logger.log(
+            "epoch",
+            epoch=epoch,
+            avg_loss=avg_loss,
+            seconds=round(time.monotonic() - t0, 3),
+        )
+    train_seconds = time.monotonic() - t_train0
+
+    # Refresh corpus from the trained item tower, then eval recall@k.
+    corpus = refresh_corpus(
+        state.params, model_cfg, data.catalog_ids, data.catalog_features
+    )
+    eval_key = jax.random.key(data_cfg.seed + 100)
+    eval_idx = jax.random.permutation(eval_key, data.num_samples)[
+        : min(1024, data.num_samples)
+    ]
+    eval_batch = gather_batch(data, eval_idx)
+    recall = float(recall_fn(state.params, corpus, eval_batch))
+    logger.log("eval", recall_at_k=recall, top_k=train_cfg.eval_top_k)
+
+    if ckpt_mgr:
+        ckpt_mgr.save(state, force=True)
+        ckpt_mgr.close()
+
+    return {
+        "epoch_losses": epoch_losses,
+        "final_loss": epoch_losses[-1] if epoch_losses else None,
+        "recall_at_k": recall,
+        "train_seconds": train_seconds,
+        "examples_per_sec": examples / max(train_seconds, 1e-9),
+        "state": state,
+        "corpus": corpus,
+    }
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a TPU-native two-tower model")
+    p.add_argument("--preset", choices=PRESET_NAMES, default="two_tower_base_retrieval")
+    # reference driver flags (train/train.py:186-254)
+    p.add_argument("--num_users", type=int, default=100)
+    p.add_argument("--num_items_to_return", type=int, default=10)
+    p.add_argument("--user_id_hash_size", type=int, default=1024)
+    p.add_argument("--item_id_hash_size", type=int, default=1024)
+    p.add_argument("--user_history_seqlen", type=int, default=10)
+    p.add_argument("--num_items", type=int, default=200)
+    p.add_argument("--embedding_dim", type=int, default=32)
+    p.add_argument("--feature_dim", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    # systems flags the reference lacks
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--log_file", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
+    model = preset(
+        args.preset,
+        num_items=args.num_items_to_return,
+        user_id_hash_size=args.user_id_hash_size,
+        user_id_embedding_dim=args.embedding_dim,
+        user_features_size=args.feature_dim,
+        item_id_hash_size=args.item_id_hash_size,
+        item_id_embedding_dim=args.embedding_dim,
+        item_features_size=args.feature_dim,
+        history_len=args.user_history_seqlen,
+        compute_dtype=args.compute_dtype,
+    )
+    data = DataConfig(
+        num_samples=args.num_samples,
+        num_users=args.num_users,
+        num_items=args.num_items,
+        feature_dim=args.feature_dim,
+        history_len=args.user_history_seqlen,
+        num_tasks=model.num_tasks,
+    )
+    train_c = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    return ExperimentConfig(model=model, data=data, train=train_c)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    exp = config_from_args(args)
+    logger = JsonlLogger(args.log_file)
+    summary = train(exp, logger)
+    for epoch, loss in enumerate(summary["epoch_losses"]):
+        print(f"Epoch [{epoch + 1}/{exp.train.num_epochs}] - Loss: {loss:.4f}")
+    print(f"recall@{exp.train.eval_top_k}: {summary['recall_at_k']:.4f}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

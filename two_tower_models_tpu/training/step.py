@@ -1,0 +1,75 @@
+"""Jitted train / eval steps.
+
+The reference's hot loop syncs host<->device every step (``.to(device)`` per
+tensor, ``.item()`` per loss — train/train.py:101-132).  Here one jitted,
+state-donating function does gather-batch -> loss -> grads -> Adam update and
+returns on-device metrics; the host only pulls them at log boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from two_tower_models_tpu.config import ModelConfig, TrainConfig
+from two_tower_models_tpu.models.two_tower import Batch, train_loss
+from two_tower_models_tpu.models import two_tower
+from two_tower_models_tpu.retrieval.mips import mips_topk
+from two_tower_models_tpu.training.data import SyntheticRecData, gather_batch
+from two_tower_models_tpu.training.state import TrainState, make_optimizer
+
+
+def make_train_step(
+    model_cfg: ModelConfig, train_cfg: TrainConfig
+) -> Callable[[TrainState, SyntheticRecData, jnp.ndarray], Tuple[TrainState, dict]]:
+    """Build the jitted step: (state, data, batch_idx) -> (state, metrics)."""
+    tx = make_optimizer(train_cfg)
+
+    def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
+        batch = gather_batch(data, idx)
+        (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
+            state.params, model_cfg, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            rng=state.rng,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    donate = (0,) if train_cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def make_eval_recall_fn(model_cfg: ModelConfig, top_k: int = 100):
+    """recall@k over the trained corpus.
+
+    For each eval example: embed the user, retrieve top-k from the (refreshed)
+    corpus, score 1 if the engaged item id is in the retrieved set.  The
+    reference cannot measure this at all — its corpus is frozen random noise
+    (SURVEY §2.4 train/infer disconnect).
+    """
+
+    @jax.jit
+    def recall_at_k(params, corpus: jnp.ndarray, batch: Batch) -> jnp.ndarray:
+        user_emb, _ = two_tower.compute_user_embedding(
+            params, model_cfg, batch.user_id, batch.user_features, batch.user_history
+        )
+        k = min(top_k, corpus.shape[0])
+        indices, _, _ = mips_topk(corpus, user_emb, k)  # [B, k]
+        hit = jnp.any(indices == batch.item_id[:, None], axis=1)
+        # Only positives count: engaged examples (any label fired).
+        positive = jnp.any(batch.labels[:, : model_cfg.num_tasks] > 0, axis=1)
+        hits = jnp.sum(hit & positive)
+        total = jnp.maximum(jnp.sum(positive), 1)
+        return hits / total
+
+    return recall_at_k

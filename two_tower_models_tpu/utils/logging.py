@@ -1,0 +1,48 @@
+"""Structured host-side logging (the reference logs with bare ``print``,
+train/train.py:183).  Metrics arrive as on-device arrays; conversion to host
+floats happens only here, at log boundaries — never per step."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import IO, Mapping, Optional
+
+import jax
+
+
+def _to_float(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+class JsonlLogger:
+    """One JSON object per line to a file and/or stderr summary."""
+
+    def __init__(self, path: Optional[str] = None, echo: bool = True):
+        self._fh: Optional[IO[str]] = open(path, "a") if path else None
+        self._echo = echo
+        self._t0 = time.monotonic()
+
+    def log(self, event: str, **fields):
+        record = {"event": event, "t": round(time.monotonic() - self._t0, 3)}
+        record.update({k: _to_float(v) for k, v in fields.items()})
+        line = json.dumps(record)
+        if self._fh:
+            self._fh.write(line + "\n")
+            self._fh.flush()
+        if self._echo:
+            print(line, file=sys.stderr)
+
+    def log_metrics(self, event: str, metrics: Mapping, **fields):
+        # Pull all device metrics in one transfer.
+        host = jax.device_get(dict(metrics))
+        self.log(event, **{k: _to_float(v) for k, v in host.items()}, **fields)
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
