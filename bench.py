@@ -1,0 +1,127 @@
+"""Benchmark: flagship train-step throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md).  The comparison
+anchor is the PyTorch reference's own train step (same model family —
+history encoder + combined debiasing, same dims/batch) measured on this
+container's CPU via scripts/bench_reference.py and recorded below.  Pass
+--refresh-baseline to re-measure it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+# Reference (torch CPU) examples/sec at the SAME config as _bench_cfg():
+# measured with scripts/bench_reference.py on this container (see BASELINE.md).
+REFERENCE_EXAMPLES_PER_SEC = 854.0
+
+
+def _bench_cfg():
+    from two_tower_models_tpu.config import Debias, HistoryEncoderConfig, ModelConfig
+
+    return ModelConfig(
+        user_id_hash_size=65536,
+        user_id_embedding_dim=64,
+        item_id_hash_size=65536,
+        item_id_embedding_dim=64,
+        user_features_size=16,
+        item_features_size=16,
+        user_value_weights=(1.0, 0.5, 0.25),
+        history_len=32,
+        history_encoder=HistoryEncoderConfig(),
+        debias=Debias.BOTH,
+        compute_dtype="bfloat16",
+    )
+
+
+BATCH_SIZE = 4096
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=BATCH_SIZE)
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from two_tower_models_tpu.config import TrainConfig
+    from two_tower_models_tpu.training.data import SyntheticRecData
+    from two_tower_models_tpu.training.state import create_train_state
+    from two_tower_models_tpu.training.step import make_train_step
+
+    cfg = _bench_cfg()
+    if args.fp32:
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=1e-3)
+
+    state = create_train_state(jax.random.key(0), cfg, tcfg)
+    batch = _make_batch(cfg, args.batch_size)
+    data = SyntheticRecData(
+        user_ids=batch.user_id,
+        user_features=batch.user_features,
+        user_history=batch.user_history,
+        item_ids=batch.item_id,
+        item_features=batch.item_features,
+        positions=batch.position,
+        labels=batch.labels,
+        catalog_ids=jnp.arange(4),
+        catalog_features=jnp.zeros((4, cfg.item_features_size)),
+    )
+    idx = jnp.arange(args.batch_size)
+    step = make_train_step(cfg, tcfg)
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, data, idx)
+    jax.block_until_ready(metrics["loss"])
+
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, data, idx)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+
+    step_s = statistics.median(times)
+    examples_per_sec = args.batch_size / step_s
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_examples_per_sec_per_chip",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/sec",
+                "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "backend": jax.default_backend(),
+                    "batch_size": args.batch_size,
+                    "median_step_ms": round(step_s * 1e3, 3),
+                    "loss": float(metrics["loss"]),
+                    "compute_dtype": cfg.compute_dtype,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
