@@ -50,6 +50,7 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=BATCH_SIZE)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--no-fused", action="store_true", help="disable the Pallas fused softmax-CE loss (on by default: +9% step time at B=16k)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -66,6 +67,8 @@ def main(argv=None):
     cfg = _bench_cfg()
     if args.fp32:
         cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    if not args.no_fused:
+        cfg = dataclasses.replace(cfg, fused_loss=True)
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=1e-3)
 
     state = create_train_state(jax.random.key(0), cfg, tcfg)
@@ -86,16 +89,17 @@ def main(argv=None):
 
     for _ in range(args.warmup):
         state, metrics = step(state, data, idx)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # hard sync (device->host transfer)
 
-    times = []
+    # Steps chain through the donated state, so total wall time over N steps
+    # bounds real device time; a device_get closes the measurement.  (Per-step
+    # block_until_ready is NOT trustworthy on the axon tunnel — it returns
+    # before device completion; measured and documented in BASELINE.md.)
+    t0 = time.perf_counter()
     for _ in range(args.steps):
-        t0 = time.perf_counter()
         state, metrics = step(state, data, idx)
-        jax.block_until_ready(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-
-    step_s = statistics.median(times)
+    float(jax.device_get(metrics["loss"]))
+    step_s = (time.perf_counter() - t0) / args.steps
     examples_per_sec = args.batch_size / step_s
     print(
         json.dumps(

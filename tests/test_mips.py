@@ -1,0 +1,147 @@
+"""MIPS module contracts (mirroring tests/test_baseline_mips_module.py in the
+reference) plus exactness, sharded merge parity, and corpus refresh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from two_tower_models_tpu.config import MeshConfig, ModelConfig
+from two_tower_models_tpu.models import two_tower
+from two_tower_models_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from two_tower_models_tpu.retrieval.mips import (
+    mips_init,
+    mips_topk,
+    refresh_corpus,
+    sharded_mips_topk,
+)
+
+B, C, DI, K = 16, 200, 32, 10
+
+
+@pytest.fixture(scope="module")
+def qc():
+    corpus = mips_init(jax.random.key(0), C, DI)
+    query = jax.random.normal(jax.random.key(1), (B, DI))
+    return query, corpus
+
+
+def test_output_shapes_and_bounds(qc):
+    query, corpus = qc
+    idx, scores, emb = mips_topk(corpus, query, K)
+    assert idx.shape == (B, K)
+    assert scores.shape == (B, K)
+    assert emb.shape == (B, K, DI)
+    assert jnp.all(idx >= 0) and jnp.all(idx < C)
+
+
+def test_exact_against_numpy(qc):
+    query, corpus = qc
+    idx, scores, emb = mips_topk(corpus, query, K)
+    full = np.asarray(query) @ np.asarray(corpus).T
+    ref_idx = np.argsort(-full, axis=1)[:, :K]
+    # identical index sets (ties could reorder; scores must match sorted)
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(full, ref_idx, axis=1),
+        rtol=1e-5,
+    )
+    # gathered embeddings correspond to returned indices
+    np.testing.assert_allclose(
+        np.asarray(emb), np.asarray(corpus)[np.asarray(idx)], rtol=1e-6
+    )
+
+
+def test_scores_descending(qc):
+    query, corpus = qc
+    _, scores, _ = mips_topk(corpus, query, K)
+    assert jnp.all(scores[:, :-1] >= scores[:, 1:])
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_sharded_topk_matches_single_device(qc):
+    query, corpus = qc
+    mesh = make_mesh(MeshConfig(data=1, model=4))
+
+    def f(corpus_shard, query):
+        return sharded_mips_topk(corpus_shard, query, K, MODEL_AXIS)
+
+    mapped = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    idx_s, scores_s, emb_s = mapped(corpus, query)
+    idx_r, scores_r, emb_r = mips_topk(corpus, query, K)
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_r), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(emb_s), np.asarray(emb_r), rtol=1e-6)
+
+
+def test_segmented_topk_matches_dense():
+    from two_tower_models_tpu.retrieval.mips import mips_topk_segmented
+
+    corpus = mips_init(jax.random.key(7), 1000, DI)
+    query = jax.random.normal(jax.random.key(8), (B, DI))
+    idx_s, scores_s, emb_s = mips_topk_segmented(corpus, query, K, num_segments=8)
+    idx_r, scores_r, emb_r = mips_topk(corpus, query, K)
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+
+
+def test_segmented_topk_nondivisible():
+    from two_tower_models_tpu.retrieval.mips import mips_topk_segmented
+
+    corpus = mips_init(jax.random.key(9), 530, DI)  # 530 % 8 != 0 -> -inf pad
+    query = jax.random.normal(jax.random.key(10), (4, DI))
+    idx_s, scores_s, _ = mips_topk_segmented(corpus, query, 9, num_segments=8)
+    idx_r, scores_r, _ = mips_topk(corpus, query, 9)
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+
+
+def test_chunked_topk_matches_dense():
+    from two_tower_models_tpu.retrieval.mips import chunked_mips_topk
+
+    corpus = mips_init(jax.random.key(3), 1000, DI)
+    query = jax.random.normal(jax.random.key(4), (B, DI))
+    idx_c, scores_c, emb_c = chunked_mips_topk(corpus, query, K, chunk_size=128)
+    idx_r, scores_r, emb_r = mips_topk(corpus, query, K)
+    np.testing.assert_allclose(np.asarray(scores_c), np.asarray(scores_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_c), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(emb_c), np.asarray(emb_r), rtol=1e-6)
+
+
+def test_chunked_topk_nondivisible_chunk():
+    from two_tower_models_tpu.retrieval.mips import chunked_mips_topk
+
+    corpus = mips_init(jax.random.key(5), 333, DI)  # 333 % 128 != 0
+    query = jax.random.normal(jax.random.key(6), (4, DI))
+    idx_c, scores_c, _ = chunked_mips_topk(corpus, query, 7, chunk_size=128)
+    idx_r, scores_r, _ = mips_topk(corpus, query, 7)
+    np.testing.assert_allclose(np.asarray(scores_c), np.asarray(scores_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_c), np.asarray(idx_r))
+
+
+def test_refresh_corpus_matches_item_tower():
+    cfg = ModelConfig(
+        item_id_hash_size=64,
+        item_id_embedding_dim=16,
+        user_id_hash_size=64,
+        user_id_embedding_dim=16,
+        item_features_size=8,
+        user_features_size=8,
+        feature_hidden_dim=32,
+    )
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    ids = jnp.arange(50)
+    feats = jax.random.normal(jax.random.key(1), (50, 8))
+    corpus = refresh_corpus(params, cfg, ids, feats, batch_size=16)
+    direct = two_tower.compute_item_embeddings(params, cfg, ids, feats)
+    assert corpus.shape == (50, 16)
+    np.testing.assert_allclose(np.asarray(corpus), np.asarray(direct), rtol=1e-5)

@@ -1,0 +1,123 @@
+"""Training layer: synthetic data contracts, end-to-end loss descent,
+checkpoint round-trip, and the multi-device loop path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from two_tower_models_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from two_tower_models_tpu.training.data import (
+    epoch_batches,
+    gather_batch,
+    make_synthetic_data,
+)
+
+SMALL_MODEL = ModelConfig(
+    user_id_hash_size=50,
+    user_id_embedding_dim=16,
+    item_id_hash_size=64,
+    item_id_embedding_dim=16,
+    user_features_size=4,
+    item_features_size=4,
+    feature_hidden_dim=32,
+    history_len=4,
+)
+SMALL_DATA = DataConfig(
+    num_samples=256, num_users=50, num_items=64, feature_dim=4, history_len=4
+)
+
+
+def test_synthetic_data_shapes_and_ranges():
+    data = make_synthetic_data(SMALL_DATA)
+    assert data.labels.shape == (256, 1)  # [N, T] — the reference's [N] defect fixed
+    assert data.user_history.shape == (256, 4)
+    assert int(data.user_ids.max()) < 50
+    assert int(data.item_ids.max()) < 64
+    assert data.catalog_features.shape == (64, 4)
+    # structured labels carry affinity signal
+    affinity = np.asarray(data.user_ids % 8 == data.item_ids % 8)
+    lbl = np.asarray(data.labels[:, 0])
+    assert lbl[affinity].mean() > lbl[~affinity].mean() + 0.2
+
+
+def test_epoch_batches_cover_dataset_once():
+    idxs = list(epoch_batches(jax.random.key(0), 256, 32))
+    flat = np.concatenate([np.asarray(i) for i in idxs])
+    assert len(idxs) == 8
+    assert sorted(flat.tolist()) == list(range(256))
+
+
+def test_gather_batch_slices_consistently():
+    data = make_synthetic_data(SMALL_DATA)
+    idx = jnp.array([3, 7, 11])
+    b = gather_batch(data, idx)
+    np.testing.assert_array_equal(np.asarray(b.user_id), np.asarray(data.user_ids[idx]))
+    np.testing.assert_array_equal(np.asarray(b.labels), np.asarray(data.labels[idx]))
+
+
+def test_end_to_end_training_descends_and_learns():
+    """Two epochs on structured data: loss drops, recall@k beats random."""
+    from two_tower_models_tpu.training.loop import train
+
+    exp = ExperimentConfig(
+        model=SMALL_MODEL,
+        data=SMALL_DATA,
+        train=TrainConfig(batch_size=32, num_epochs=3, log_every=0),
+    )
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    summary = train(exp, JsonlLogger(echo=False))
+    assert summary["epoch_losses"][-1] < summary["epoch_losses"][0]
+    # k=100 over corpus 64 -> recall must be 1.0 (sanity: top-k clamps to C)
+    assert summary["recall_at_k"] == 1.0
+
+
+def test_end_to_end_training_multidevice():
+    """Same loop through the shard_map path on a virtual (2, 2) mesh."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    exp = ExperimentConfig(
+        model=SMALL_MODEL,
+        data=SMALL_DATA,
+        mesh=MeshConfig(data=2, model=2, global_negatives=True),
+        train=TrainConfig(batch_size=32, num_epochs=2, log_every=0),
+    )
+    summary = train(exp, JsonlLogger(echo=False))
+    assert np.isfinite(summary["final_loss"])
+    assert summary["epoch_losses"][-1] < summary["epoch_losses"][0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from two_tower_models_tpu.training.checkpoint import CheckpointManager
+    from two_tower_models_tpu.training.state import create_train_state
+
+    tcfg = TrainConfig(batch_size=8)
+    state = create_train_state(jax.random.key(0), SMALL_MODEL, tcfg)
+    state = state._replace(step=jnp.asarray(17, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(state, force=True)
+    mgr.close()
+
+    template = create_train_state(jax.random.key(1), SMALL_MODEL, tcfg)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mgr2.restore_latest(template)
+    mgr2.close()
+    assert restored is not None
+    assert int(restored.step) == 17
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(restored.params),
+        jax.tree_util.tree_leaves_with_path(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))

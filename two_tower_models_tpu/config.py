@@ -47,6 +47,10 @@ class HistoryEncoderConfig:
     num_heads: int = 4
     num_layers: int = 3
     use_positional_encoding: bool = True
+    # Blockwise Pallas attention (ops.pallas.history_attention): O(H) memory,
+    # the seam for ring/context parallelism.  Off by default — for H <= 128
+    # XLA's fused dense attention is already optimal.
+    blockwise_kernel: bool = False
 
 
 @dataclass(frozen=True)
@@ -119,6 +123,10 @@ class ModelConfig:
     # --- numerics ---
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for TPU MXU throughput
+    # Fused Pallas softmax-CE kernel: the [B, B] logit matrix never
+    # materializes in HBM (ops.pallas.fused_softmax).  Numerically equivalent
+    # (parity-tested); pays off for global batches >= ~2k rows.
+    fused_loss: bool = False
 
     @property
     def num_tasks(self) -> int:

@@ -68,7 +68,9 @@ def history_encoder_apply(
         x = x + sinusoidal_positional_encoding(H, D).astype(x.dtype)[None]
 
     for layer in params["attn_layers"]:
-        x = mha_apply(layer, x, cfg.num_heads, compute_dtype)
+        x = mha_apply(
+            layer, x, cfg.num_heads, compute_dtype, blockwise=cfg.blockwise_kernel
+        )
 
     most_recent = x[:, 0, :]  # [B, DI]
     return jnp.stack([most_recent, mean_pooled], axis=1)  # [B, 2, DI]

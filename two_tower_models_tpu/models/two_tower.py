@@ -300,11 +300,19 @@ def softmax_retrieval_loss(
     ranker's own path, two_tower_plus_light_ranker.py:286-289 — controlled by
     ``max_normalize``), weighted mean, plus the debias aux loss.
     """
-    if scores is None:
-        scores = jnp.dot(
+    if scores is not None:
+        ce = _in_batch_ce(scores)  # [B]
+    elif cfg.fused_loss:
+        from two_tower_models_tpu.ops.pallas.fused_softmax import fused_in_batch_ce
+
+        ce, _ = fused_in_batch_ce(
+            user_embedding.astype(jnp.float32), item_embeddings.astype(jnp.float32)
+        )
+    else:
+        scores_local = jnp.dot(
             user_embedding, item_embeddings.T, preferred_element_type=jnp.float32
         )  # [B, B]
-    ce = _in_batch_ce(scores)  # [B]
+        ce = _in_batch_ce(scores_local)
     nuv = _net_user_value(cfg, labels)  # [B]
     nuv, aux_loss = debias_net_user_value(params, cfg, nuv, position, user_embedding)
     nuv = jnp.clip(nuv, min=cfg.nuv_min)
@@ -440,15 +448,29 @@ def train_loss(
         params, cfg, batch.user_id, batch.user_features, batch.user_history
     )
     item_embs = compute_item_embeddings(params, cfg, batch.item_id, batch.item_features)
-    scores = jnp.dot(user_emb, item_embs.T, preferred_element_type=jnp.float32)
+    # The full [B, B] score matrix only materializes when a consumer needs it
+    # (reward-model pairwise logits); otherwise the fused kernel (or XLA's own
+    # fusion) keeps it out of HBM.
+    scores = (
+        jnp.dot(user_emb, item_embs.T, preferred_element_type=jnp.float32)
+        if cfg.reward_model
+        else None
+    )
 
     if cfg.light_ranker is not None:
         retrieval_loss, metrics = softmax_retrieval_loss(
             params, cfg, user_emb, item_embs, batch.position, batch.labels,
             max_normalize=False, scores=scores,
         )
+        diag = (
+            jnp.diagonal(scores)
+            if scores is not None
+            else jnp.einsum(
+                "bd,bd->b", user_emb, item_embs, preferred_element_type=jnp.float32
+            )
+        )
         lr_loss, lr_metrics = _light_ranker_train_terms(
-            params, cfg, ranker_embs, item_embs, jnp.diagonal(scores), batch.labels
+            params, cfg, ranker_embs, item_embs, diag, batch.labels
         )
         loss = retrieval_loss + lr_loss
         metrics.update(lr_metrics)

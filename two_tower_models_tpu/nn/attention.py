@@ -36,7 +36,11 @@ def mha_init(key, dim: int, num_heads: int, dtype=jnp.float32) -> dict:
 
 
 def mha_apply(
-    params: dict, x: jnp.ndarray, num_heads: int, compute_dtype=None
+    params: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    compute_dtype=None,
+    blockwise: bool = False,
 ) -> jnp.ndarray:
     """Self-attention (q = k = v = x).
 
@@ -44,6 +48,8 @@ def mha_apply(
 
     ``num_heads`` is static config, not a param leaf — the params dict holds
     only arrays so optimizers and checkpointers can map over it blindly.
+    ``blockwise=True`` routes through the O(H)-memory Pallas kernel
+    (ops.pallas.history_attention) for long histories.
     """
     B, H, D = x.shape
     head_dim = D // num_heads
@@ -55,14 +61,23 @@ def mha_apply(
         return t.reshape(B, H, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    scores = (
-        jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
-        * scale
-    )  # [B, nh, H, H]
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum(
-        "bnqk,bnkd->bnqd", probs, v, preferred_element_type=jnp.float32
-    )  # [B, nh, H, hd]
+    if blockwise:
+        from two_tower_models_tpu.ops.pallas.history_attention import (
+            blockwise_self_attention,
+        )
+
+        fold = lambda t: t.reshape(B * num_heads, H, head_dim)
+        out = blockwise_self_attention(fold(q), fold(k), fold(v))
+        out = out.reshape(B, num_heads, H, head_dim)
+    else:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        scores = (
+            jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )  # [B, nh, H, H]
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum(
+            "bnqk,bnkd->bnqd", probs, v, preferred_element_type=jnp.float32
+        )  # [B, nh, H, hd]
     out = out.transpose(0, 2, 1, 3).reshape(B, H, D).astype(x.dtype)
     return linear_apply(params["out_proj"], out, compute_dtype)

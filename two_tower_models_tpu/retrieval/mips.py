@@ -89,6 +89,101 @@ def sharded_mips_topk(
     return top_idx, top_scores, top_emb
 
 
+def segmented_topk(
+    scores: jnp.ndarray, k: int, num_segments: int  # [B, C]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via segment-local top-k + merge.
+
+    Splits the C axis into segments, takes top-k within each (all true global
+    top-k elements survive: a segment contributes at most its own top-k), then
+    merges the num_segments*k candidates.  On TPU XLA's TopK over a narrow
+    axis is far cheaper than over the full C axis — measured 15-20x at C=1M
+    (BASELINE.md).
+    """
+    b, c = scores.shape
+    seg = -(-c // num_segments)
+    pad = seg * num_segments - c
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    s = scores.reshape(b, num_segments, seg)
+    kk = min(k, seg)
+    loc_s, loc_i = jax.lax.top_k(s, kk)  # [B, nseg, kk]
+    offs = (jnp.arange(num_segments) * seg)[None, :, None]
+    cand_s = loc_s.reshape(b, -1)
+    cand_i = (loc_i + offs).reshape(b, -1)
+    top_s, sel = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return top_s, top_i
+
+
+def mips_topk_segmented(
+    corpus: jnp.ndarray, query: jnp.ndarray, k: int, num_segments: int = 64
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact MIPS with the segmented top-k (drop-in for mips_topk at large C)."""
+    scores = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
+    top_scores, top_idx = segmented_topk(scores, k, num_segments)
+    return top_idx, top_scores, jnp.take(corpus, top_idx, axis=0)
+
+
+def mips_topk_approx(
+    corpus: jnp.ndarray, query: jnp.ndarray, k: int, recall_target: float = 0.95
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """TPU-native approximate MIPS via ``lax.approx_max_k`` (the hardware
+    PartialReduce op built for exactly this workload).  Trades bounded recall
+    for large QPS gains; use for serving, keep exact for eval parity."""
+    scores = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
+    top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    return top_idx, top_scores, jnp.take(corpus, top_idx, axis=0)
+
+
+def chunked_mips_topk(
+    corpus: jnp.ndarray,  # [C, DI]
+    query: jnp.ndarray,  # [B, DI]
+    k: int,
+    chunk_size: int = 65536,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with O(B * chunk) peak memory instead of O(B * C).
+
+    A ``lax.scan`` over corpus chunks keeps a running candidate set of k
+    (scores, indices) per query and merges each chunk's local top-k into it —
+    the full [B, C] score matrix never exists.  Use when C is too large for
+    one [B, C] buffer (e.g. C = 100M, B = 1k, fp32 -> 400 GB).
+    """
+    c, di = corpus.shape
+    b = query.shape[0]
+    if c <= chunk_size:
+        return mips_topk(corpus, query, k)
+    k = min(k, c)
+    pad = (-c) % chunk_size
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0)))
+    n_chunks = corpus_p.shape[0] // chunk_size
+    chunks = corpus_p.reshape(n_chunks, chunk_size, di)
+
+    init_scores = jnp.full((b, k), -jnp.inf, jnp.float32)
+    init_idx = jnp.zeros((b, k), jnp.int32)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        chunk, chunk_no = inp
+        scores = jnp.dot(query, chunk.T, preferred_element_type=jnp.float32)
+        base = chunk_no * chunk_size
+        # mask padded rows of the final chunk
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < c, scores, -jnp.inf)
+        local_s, local_i = jax.lax.top_k(scores, min(k, chunk_size))
+        cand_s = jnp.concatenate([best_s, local_s], axis=1)
+        cand_i = jnp.concatenate([best_i, local_i + base], axis=1)
+        new_s, sel = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (top_scores, top_idx), _ = jax.lax.scan(
+        body, (init_scores, init_idx), (chunks, jnp.arange(n_chunks))
+    )
+    top_emb = jnp.take(corpus, top_idx, axis=0)
+    return top_idx, top_scores, top_emb
+
+
 def refresh_corpus(
     params,
     cfg,

@@ -48,7 +48,25 @@ def train(
     label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
     data = make_synthetic_data(data_cfg, label_cols=label_cols)
     state = create_train_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
-    train_step = make_train_step(model_cfg, train_cfg)
+
+    mesh_cfg = exp.mesh
+    if mesh_cfg.data * mesh_cfg.model > 1:
+        # Multi-chip: shard the state over the mesh and run the explicit-
+        # collectives shard_map step; batches reshard on entry via GSPMD.
+        from two_tower_models_tpu.parallel.mesh import make_mesh
+        from two_tower_models_tpu.parallel.sharding import shard_state
+        from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+
+        mesh = make_mesh(mesh_cfg)
+        state = shard_state(state, mesh)
+        sharded_step = make_sharded_train_step(model_cfg, train_cfg, mesh, mesh_cfg)
+        gather = jax.jit(gather_batch)
+
+        def train_step(s, d, idx):
+            return sharded_step(s, gather(d, idx))
+
+    else:
+        train_step = make_train_step(model_cfg, train_cfg)
     recall_fn = make_eval_recall_fn(model_cfg, train_cfg.eval_top_k)
 
     ckpt_mgr = None
@@ -80,7 +98,14 @@ def train(
         for i, idx in enumerate(
             epoch_batches(key, data.num_samples, train_cfg.batch_size)
         ):
+            # Profile a small post-warmup window of epoch 0 (steps 3..7).
+            if train_cfg.profile_dir and epoch == 0 and i == 3:
+                jax.profiler.start_trace(train_cfg.profile_dir)
             state, metrics = train_step(state, data, idx)
+            if train_cfg.profile_dir and epoch == 0 and i == 7:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logger.log("profile_written", dir=train_cfg.profile_dir)
             loss_sum = loss_sum + metrics["loss"]  # stays on device
             examples += train_cfg.batch_size
             if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
@@ -148,6 +173,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--log_file", default=None)
+    p.add_argument("--profile_dir", default=None, help="write an xprof trace of steps 3-7")
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -179,6 +205,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         learning_rate=args.learning_rate,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
+        profile_dir=args.profile_dir,
     )
     return ExperimentConfig(model=model, data=data, train=train_c)
 
