@@ -35,7 +35,7 @@ def _bench_cfg():
         item_features_size=16,
         user_value_weights=(1.0, 0.5, 0.25),
         history_len=32,
-        history_encoder=HistoryEncoderConfig(),
+        history_encoder=HistoryEncoderConfig(fused_kernel=True),
         debias=Debias.BOTH,
         compute_dtype="bfloat16",
     )

@@ -51,6 +51,11 @@ class HistoryEncoderConfig:
     # the seam for ring/context parallelism.  Off by default — for H <= 128
     # XLA's fused dense attention is already optimal.
     blockwise_kernel: bool = False
+    # Fully-fused Pallas layer (ops.pallas.fused_mha): whole QKV+MHA+out-proj
+    # per batch tile in VMEM.  ~3x over XLA's head-split lowering at
+    # H=32, D=64, B=16k (BASELINE.md).  Runs interpreted (slow) off-TPU, so
+    # off by default; the bench enables it.
+    fused_kernel: bool = False
 
 
 @dataclass(frozen=True)

@@ -69,7 +69,12 @@ def history_encoder_apply(
 
     for layer in params["attn_layers"]:
         x = mha_apply(
-            layer, x, cfg.num_heads, compute_dtype, blockwise=cfg.blockwise_kernel
+            layer,
+            x,
+            cfg.num_heads,
+            compute_dtype,
+            blockwise=cfg.blockwise_kernel,
+            fused=cfg.fused_kernel,
         )
 
     most_recent = x[:, 0, :]  # [B, DI]

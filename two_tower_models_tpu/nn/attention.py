@@ -41,6 +41,7 @@ def mha_apply(
     num_heads: int,
     compute_dtype=None,
     blockwise: bool = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Self-attention (q = k = v = x).
 
@@ -53,6 +54,20 @@ def mha_apply(
     """
     B, H, D = x.shape
     head_dim = D // num_heads
+
+    if fused:
+        # Whole layer in one Pallas kernel (ops.pallas.fused_mha) — no
+        # hd-minor layouts ever leave VMEM.
+        from two_tower_models_tpu.ops.pallas.fused_mha import fused_mha_layer
+
+        return fused_mha_layer(
+            x,
+            params["in_proj"]["w"],
+            params["in_proj"]["b"],
+            params["out_proj"]["w"],
+            params["out_proj"]["b"],
+            num_heads,
+        ).astype(x.dtype)
 
     qkv = linear_apply(params["in_proj"], x, compute_dtype)  # [B, H, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
