@@ -6,15 +6,14 @@ Prints ONE JSON line:
 Baseline: the reference publishes no numbers (BASELINE.md).  The comparison
 anchor is the PyTorch reference's own train step (same model family —
 history encoder + combined debiasing, same dims/batch) measured on this
-container's CPU via scripts/bench_reference.py and recorded below.  Pass
---refresh-baseline to re-measure it.
+container's CPU via scripts/bench_reference.py and recorded below (re-run
+that script to refresh the constant).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import statistics
 import sys
 import time
 
@@ -50,10 +49,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=BATCH_SIZE)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
-    p.add_argument("--no-fused", action="store_true", help="disable the Pallas fused softmax-CE loss (on by default: +9% step time at B=16k)")
+    p.add_argument("--no-fused-loss", action="store_true", help="disable the Pallas fused softmax-CE loss kernel")
+    p.add_argument("--no-fused-mha", action="store_true", help="disable the Pallas fused attention-layer kernel")
     args = p.parse_args(argv)
-
-    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -64,11 +62,18 @@ def main(argv=None):
     from two_tower_models_tpu.training.state import create_train_state
     from two_tower_models_tpu.training.step import make_train_step
 
+    import dataclasses
+
     cfg = _bench_cfg()
     if args.fp32:
         cfg = dataclasses.replace(cfg, compute_dtype="float32")
-    if not args.no_fused:
-        cfg = dataclasses.replace(cfg, fused_loss=True)
+    if args.no_fused_loss:
+        cfg = dataclasses.replace(cfg, fused_loss=False)
+    if args.no_fused_mha:
+        cfg = dataclasses.replace(
+            cfg,
+            history_encoder=dataclasses.replace(cfg.history_encoder, fused_kernel=False),
+        )
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=1e-3)
 
     state = create_train_state(jax.random.key(0), cfg, tcfg)
@@ -117,7 +122,7 @@ def main(argv=None):
                 "detail": {
                     "backend": jax.default_backend(),
                     "batch_size": args.batch_size,
-                    "median_step_ms": round(step_s * 1e3, 3),
+                    "mean_step_ms": round(step_s * 1e3, 3),
                     "loss": float(metrics["loss"]),
                     "compute_dtype": cfg.compute_dtype,
                 }

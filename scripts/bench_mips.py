@@ -28,25 +28,42 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from two_tower_models_tpu.retrieval.mips import chunked_mips_topk, mips_topk
+    from two_tower_models_tpu.retrieval.mips import (
+        chunked_mips_topk,
+        mips_topk,
+        mips_topk_approx,
+        mips_topk_segmented,
+    )
 
     corpus = jax.random.normal(jax.random.key(0), (args.corpus, args.dim), jnp.bfloat16)
     query = jax.random.normal(jax.random.key(1), (args.batch, args.dim), jnp.bfloat16)
 
+    # Chained-dependency timing closed by a scalar device_get: per-call
+    # block_until_ready under-reports on the tunneled TPU (BASELINE.md).
+    def timed(fn):
+        def chained(c, q, n):
+            def body(i, q):
+                idx, s, e = fn(c, q)
+                return q + (s[:, :1] * 0).astype(q.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, q))
+
+        g = jax.jit(chained, static_argnums=2)
+        # warmup with the SAME static n — a different n retraces and the
+        # compile would land inside the timed region
+        float(jax.device_get(g(corpus, query, args.steps)))
+        t0 = time.perf_counter()
+        float(jax.device_get(g(corpus, query, args.steps)))
+        return (time.perf_counter() - t0) / args.steps
+
     results = {}
     for name, fn in {
-        "dense": jax.jit(lambda c, q: mips_topk(c, q, args.k)),
-        "chunked": jax.jit(lambda c, q: chunked_mips_topk(c, q, args.k, 131072)),
+        "dense": lambda c, q: mips_topk(c, q, args.k),
+        "segmented64": lambda c, q: mips_topk_segmented(c, q, args.k, 64),
+        "segmented256": lambda c, q: mips_topk_segmented(c, q, args.k, 256),
+        "approx95": lambda c, q: mips_topk_approx(c, q, args.k, 0.95),
+        "chunked": lambda c, q: chunked_mips_topk(c, q, args.k, 131072),
     }.items():
-        out = fn(corpus, query)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(args.steps):
-            t0 = time.perf_counter()
-            out = fn(corpus, query)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        sec = statistics.median(times)
+        sec = timed(fn)
         results[name] = {
             "qps": round(args.batch / sec, 1),
             "latency_ms": round(sec * 1e3, 3),

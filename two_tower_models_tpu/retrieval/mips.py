@@ -96,9 +96,10 @@ def segmented_topk(
 
     Splits the C axis into segments, takes top-k within each (all true global
     top-k elements survive: a segment contributes at most its own top-k), then
-    merges the num_segments*k candidates.  On TPU XLA's TopK over a narrow
-    axis is far cheaper than over the full C axis — measured 15-20x at C=1M
-    (BASELINE.md).
+    merges the num_segments*k candidates.  NOTE: measured SLOWER than plain
+    ``lax.top_k`` on TPU v5e (XLA's batched narrow-axis TopK lowering is
+    poor — BASELINE.md); kept for non-TPU backends and as the merge building
+    block for the sharded path.
     """
     b, c = scores.shape
     seg = -(-c // num_segments)
@@ -129,8 +130,10 @@ def mips_topk_approx(
     corpus: jnp.ndarray, query: jnp.ndarray, k: int, recall_target: float = 0.95
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """TPU-native approximate MIPS via ``lax.approx_max_k`` (the hardware
-    PartialReduce op built for exactly this workload).  Trades bounded recall
-    for large QPS gains; use for serving, keep exact for eval parity."""
+    PartialReduce op built for exactly this workload).  6.6x faster than exact
+    ``lax.top_k`` at C=1M/k=100 (2.9 ms vs 19.2 ms per 1024-query batch on
+    v5e); measured recall@100: 0.95 target -> 0.974 actual, 0.99 -> 0.996
+    (BASELINE.md).  Serving path; keep exact for eval parity."""
     scores = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
     top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     return top_idx, top_scores, jnp.take(corpus, top_idx, axis=0)
