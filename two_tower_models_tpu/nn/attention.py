@@ -57,11 +57,12 @@ def mha_apply(
 
     if fused:
         # Whole layer in one Pallas kernel (ops.pallas.fused_mha) — no
-        # hd-minor layouts ever leave VMEM.
+        # hd-minor layouts ever leave VMEM.  Cast to the compute dtype first:
+        # bf16 inputs run the kernel's MXU ops at full rate.
         from two_tower_models_tpu.ops.pallas.fused_mha import fused_mha_layer
 
         return fused_mha_layer(
-            x,
+            x if compute_dtype is None else x.astype(compute_dtype),
             params["in_proj"]["w"],
             params["in_proj"]["b"],
             params["out_proj"]["w"],

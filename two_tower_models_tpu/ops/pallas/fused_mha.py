@@ -47,40 +47,86 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _head_mask(h: int, hd: int, d: int):
-    """[1, 1, D] one-hot column mask for head h, built in-kernel (iota —
-    Pallas forbids captured host constants)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
-    return (col // hd == h).astype(jnp.float32)
+def _mm_dtype(dtype) -> jnp.dtype:
+    """MXU operand dtype: bf16 inputs run the systolic array at full rate
+    (fp32 matmuls on v5e run ~8x slower); accumulation stays f32 via
+    preferred_element_type everywhere."""
+    return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
-def _attend(q, k, v, num_heads, hd, h_true):
-    """Per-head masked-contraction attention on VMEM-resident [TB, H, D]
-    tensors.  Returns [TB, H, D].  Shared by fwd and bwd kernels."""
+def _nh_mask(num_heads: int, hd: int, d: int, dtype):
+    """[NH, 1, D] head-selector along D: mask[h, 0, j] = (j // hd == h)."""
+    head = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (num_heads, 1, d), 2)
+    return (col // hd == head).astype(dtype)
+
+
+def _merge_heads(t, num_heads, hd, mm):
+    """[TB, H, D] -> [TB, NH*H, D] with head h's copy masked to its D-slice.
+
+    Row (h*H + k) of the result is t[:, k] zeroed outside head h's feature
+    range, so a single full-D contraction against it computes all heads'
+    scores at once — one lane-width-NH*H batched matmul instead of a per-head
+    loop of tiny ones (the loop serializes the MXU; measured ~4x slower)."""
+    tb, hp, d = t.shape
+    m = _nh_mask(num_heads, hd, d, mm)  # [NH, 1, D]
+    return (t[:, None, :, :] * m[None]).reshape(tb, num_heads * hp, d)
+
+
+def _split_heads_sum(t, num_heads, hd, mm):
+    """[TB, NH*H, D] -> [TB, H, D]: re-mask each head copy to its D-slice and
+    sum over heads (adjoint of _merge_heads)."""
+    tb, nhp, d = t.shape
+    hp = nhp // num_heads
+    m = _nh_mask(num_heads, hd, d, jnp.float32)  # [NH, 1, D]
+    return jnp.sum(t.reshape(tb, num_heads, hp, d) * m[None], axis=1)
+
+
+def _group_ones(nhp: int, hp: int, dtype):
+    """[NH*H, NH*H] block-diagonal ones: G[i, j] = (i//H == j//H).  e @ G
+    broadcasts per-head row sums back across each head's lane group."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (nhp, nhp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nhp, nhp), 1)
+    return (r // hp == c // hp).astype(dtype)
+
+
+def _attend(q, k, v, num_heads, hd, h_true, mm):
+    """All-heads-merged attention on VMEM-resident [TB, H, D] tensors
+    (operand dtype ``mm``, f32 accumulation).  Returns ([TB, H, D] f32 out,
+    (probs [TB, H, NH*H] f32, k_all, v_all)).  Shared by fwd and bwd."""
     scale = 1.0 / (hd**0.5)
     tb, hp, d = q.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, hp), 2)
-    out = jnp.zeros_like(v)
-    probs = []
-    for h in range(num_heads):
-        m = _head_mask(h, hd, d)
-        s = (
-            jax.lax.dot_general(
-                q * m, k,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-        )  # [TB, H, H]
-        s = jnp.where(col < h_true, s, _NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        probs.append(p)
-        out = out + jax.lax.dot_general(
-            p, v * m,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    nhp = num_heads * hp
+    k_all = _merge_heads(k, num_heads, hd, mm)  # [TB, NH*H, D]
+    v_all = _merge_heads(v, num_heads, hd, mm)  # [TB, NH*H, D]
+
+    s = (
+        jax.lax.dot_general(
+            q, k_all,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-    return out, probs
+        * scale
+    )  # [TB, H, NH*H]: s[b, q, h*H + k] = per-head score
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, nhp), 2)
+    s = jnp.where(col % hp < h_true, s, _NEG_INF)
+    # One row max across all heads is a valid softmax stabilizer per head.
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    denom = jax.lax.dot_general(
+        e.astype(mm), _group_ones(nhp, hp, mm),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # per-head sums broadcast across each head's lane group
+    # Clamp: a head whose scores sit >~87 below the global row max underflows
+    # entirely (its p rows become 0 instead of uniform) — acceptable in that
+    # degenerate regime, and this keeps the kernel NaN-free.
+    p = e / jnp.maximum(denom, 1e-30)  # [TB, H, NH*H]
+    out = jax.lax.dot_general(
+        p.astype(mm), v_all,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, H, D]
+    return out, (p, k_all, v_all)
 
 
 def _fwd_kernel(
@@ -88,19 +134,24 @@ def _fwd_kernel(
 ):
     tb, hp, d = x_ref.shape
     hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
 
-    x2 = x_ref[...].reshape(tb * hp, d)
+    x2 = x_ref[...].reshape(tb * hp, d).astype(mm)
     qkv = (
-        jnp.dot(x2, wi_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(x2, wi_ref[...].astype(mm), preferred_element_type=jnp.float32)
         + bi_ref[...]
-    )  # [TB*H, 3D]
-    q = qkv[:, :d].reshape(tb, hp, d)
-    k = qkv[:, d : 2 * d].reshape(tb, hp, d)
-    v = qkv[:, 2 * d :].reshape(tb, hp, d)
+    )  # [TB*H, 3D] f32
+    q = qkv[:, :d].reshape(tb, hp, d).astype(mm)
+    k = qkv[:, d : 2 * d].reshape(tb, hp, d).astype(mm)
+    v = qkv[:, 2 * d :].reshape(tb, hp, d).astype(mm)
 
-    out, _ = _attend(q, k, v, num_heads, hd, h_true)
+    out, _ = _attend(q, k, v, num_heads, hd, h_true, mm)
     y2 = (
-        jnp.dot(out.reshape(tb * hp, d), wo_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(
+            out.reshape(tb * hp, d).astype(mm),
+            wo_ref[...].astype(mm),
+            preferred_element_type=jnp.float32,
+        )
         + bo_ref[...]
     )
     y_ref[...] = y2.reshape(tb, hp, d).astype(y_ref.dtype)
@@ -114,6 +165,7 @@ def _bwd_kernel(
     tb, hp, d = x_ref.shape
     hd = d // num_heads
     scale = 1.0 / (hd**0.5)
+    mm = _mm_dtype(x_ref.dtype)
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -124,59 +176,61 @@ def _bwd_kernel(
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
     # --- recompute forward ---
-    x2 = x_ref[...].reshape(tb * hp, d)
+    x2 = x_ref[...].reshape(tb * hp, d).astype(mm)
     qkv = (
-        jnp.dot(x2, wi_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(x2, wi_ref[...].astype(mm), preferred_element_type=jnp.float32)
         + bi_ref[...]
     )
-    q = qkv[:, :d].reshape(tb, hp, d)
-    k = qkv[:, d : 2 * d].reshape(tb, hp, d)
-    v = qkv[:, 2 * d :].reshape(tb, hp, d)
-    attn_out, probs = _attend(q, k, v, num_heads, hd, h_true)
+    q = qkv[:, :d].reshape(tb, hp, d).astype(mm)
+    k = qkv[:, d : 2 * d].reshape(tb, hp, d).astype(mm)
+    v = qkv[:, 2 * d :].reshape(tb, hp, d).astype(mm)
+    attn_out, (p, k_all, v_all) = _attend(q, k, v, num_heads, hd, h_true, mm)
+    nhp = num_heads * hp
 
     # --- output projection backward ---
-    g2 = g_ref[...].reshape(tb * hp, d).astype(jnp.float32)
-    ao2 = attn_out.reshape(tb * hp, d)
+    g2 = g_ref[...].reshape(tb * hp, d).astype(mm)
+    ao2 = attn_out.reshape(tb * hp, d).astype(mm)
     dwo_ref[...] += jax.lax.dot_general(
         ao2, g2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [D, D]
-    dbo_ref[...] += jnp.sum(g2, axis=0, keepdims=True)
+    dbo_ref[...] += jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
     do = jnp.dot(
-        g2, wo_ref[...].T, preferred_element_type=jnp.float32
+        g2, wo_ref[...].T.astype(mm), preferred_element_type=jnp.float32
     ).reshape(tb, hp, d)
+    do_mm = do.astype(mm)
 
-    # --- attention backward per head ---
-    dq = jnp.zeros_like(q)
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
-    for h in range(num_heads):
-        m = _head_mask(h, hd, d)
-        p = probs[h]  # [TB, H, H]
-        vm = v * m
-        # dP = do @ vm^T
-        dp = jax.lax.dot_general(
-            do, vm, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TB, H, H]
-        # dv += (P^T @ do) . m   (contract over query axis)
-        dv = dv + jax.lax.dot_general(
-            p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * m
-        # softmax backward
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [TB, H, H]
-        ds = ds * scale
-        # dq += (dS @ K) . m
-        dq = dq + jax.lax.dot_general(
-            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * m
-        # dk += dS^T @ (Q . m)   (contract over query axis)
-        dk = dk + jax.lax.dot_general(
-            ds, q * m, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+    # --- attention backward, all heads merged (see _merge_heads) ---
+    p_mm = p.astype(mm)
+    # dP = do @ V_all^T
+    dp = jax.lax.dot_general(
+        do_mm, v_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, H, NH*H]
+    # dV_all = P^T @ do (contract query axis), then fold head copies back
+    dv_all = jax.lax.dot_general(
+        p_mm, do_mm, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, NH*H, D]
+    dv = _split_heads_sum(dv_all, num_heads, hd, mm)
+    # softmax backward per head group: row sums broadcast via block-diag ones
+    pdp_sum = jax.lax.dot_general(
+        (dp * p).astype(mm), _group_ones(nhp, hp, mm),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TB, H, NH*H]
+    ds = (p * (dp - pdp_sum) * scale).astype(mm)
+    # dq = dS @ K_all (mask already folded into K_all rows)
+    dq = jax.lax.dot_general(
+        ds, k_all, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, H, D]
+    # dK_all = dS^T @ Q (contract query axis), fold head copies back
+    dk_all = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, NH*H, D]
+    dk = _split_heads_sum(dk_all, num_heads, hd, mm)
 
     dqkv = jnp.concatenate(
         [
@@ -185,26 +239,28 @@ def _bwd_kernel(
             dv.reshape(tb * hp, d),
         ],
         axis=1,
-    )  # [TB*H, 3D]
-    dx2 = jnp.dot(dqkv, wi_ref[...].T, preferred_element_type=jnp.float32)
+    ).astype(mm)  # [TB*H, 3D]
+    dx2 = jnp.dot(dqkv, wi_ref[...].T.astype(mm), preferred_element_type=jnp.float32)
     dx_ref[...] = dx2.reshape(tb, hp, d).astype(dx_ref.dtype)
     dwi_ref[...] += jax.lax.dot_general(
         x2, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [D, 3D]
-    dbi_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dbi_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def _pad_bh(x, tb, hp):
     b, h, d = x.shape
-    return jnp.pad(
-        x.astype(jnp.float32), ((0, _round_up(b, tb) - b), (0, hp - h), (0, 0))
-    )
+    return jnp.pad(x, ((0, _round_up(b, tb) - b), (0, hp - h), (0, 0)))
+
+
+def _sublane(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
 
 
 def _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b):
     b, h_true, d = x.shape
-    hp = _round_up(h_true, 8)
+    hp = _round_up(h_true, _sublane(x.dtype))
     xp = _pad_bh(x, tile_b, hp)
     bp = xp.shape[0]
     grid = (bp // tile_b,)
@@ -221,16 +277,16 @@ def _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b):
         out_specs=pl.BlockSpec(
             (tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bp, hp, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, hp, d), x.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * hp * d * (4 * d + 2 * num_heads * hp),
-            bytes_accessed=2 * bp * hp * d * 4,
+            bytes_accessed=2 * bp * hp * d * x.dtype.itemsize,
             transcendentals=bp * hp * hp * num_heads,
         ),
         interpret=_interpret(),
     )(xp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
-    return y[:b, :h_true].astype(x.dtype)
+    return y[:b, :h_true]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -259,7 +315,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
     # probs for all heads + dq/dk/dv + the concat); halve the tile to stay
     # under the 16 MB scoped limit (tile 64 OOMs at H=32, D=64 — measured).
     tile_b = max(16, tile_b // 2)
-    hp = _round_up(h_true, 8)
+    hp = _round_up(h_true, _sublane(x.dtype))
     xp = _pad_bh(x, tile_b, hp)
     gp = _pad_bh(g, tile_b, hp)
     bp = xp.shape[0]
@@ -284,7 +340,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, hp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bp, hp, d), x.dtype),
             jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((d, d), jnp.float32),
