@@ -34,7 +34,7 @@ def _bench_cfg():
         item_features_size=16,
         user_value_weights=(1.0, 0.5, 0.25),
         history_len=32,
-        history_encoder=HistoryEncoderConfig(fused_kernel=True),
+        history_encoder=HistoryEncoderConfig(fused_encoder=True),
         debias=Debias.BOTH,
         compute_dtype="bfloat16",
     )
@@ -72,7 +72,9 @@ def main(argv=None):
     if args.no_fused_mha:
         cfg = dataclasses.replace(
             cfg,
-            history_encoder=dataclasses.replace(cfg.history_encoder, fused_kernel=False),
+            history_encoder=dataclasses.replace(
+                cfg.history_encoder, fused_kernel=False, fused_encoder=False
+            ),
         )
     tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=1e-3)
 

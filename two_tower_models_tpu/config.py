@@ -56,6 +56,12 @@ class HistoryEncoderConfig:
     # H=32, D=64, B=16k (BASELINE.md).  Runs interpreted (slow) off-TPU, so
     # off by default; the bench enables it.
     fused_kernel: bool = False
+    # Whole-encoder Pallas kernel (ops.pallas.fused_encoder): PE + all
+    # attention layers + mean-pool in ONE kernel; the batch tile never
+    # leaves VMEM between layers and the final layer computes only query
+    # row 0 (the only row the encoder's contract consumes).  Supersedes
+    # fused_kernel when set.
+    fused_encoder: bool = False
 
 
 @dataclass(frozen=True)

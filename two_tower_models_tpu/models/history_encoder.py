@@ -61,6 +61,32 @@ def history_encoder_apply(
 ) -> jnp.ndarray:
     """Returns [B, 2, DI]: (post-attention newest item, mean-pool)."""
     B, H, D = history_emb.shape
+
+    if cfg.fused_encoder:
+        # Whole stack (PE + layers + pool) in one Pallas kernel; bf16
+        # operands / f32 accumulation when compute_dtype is bf16.
+        from two_tower_models_tpu.ops.pallas.fused_encoder import (
+            fused_history_encoder,
+        )
+
+        pe = (
+            sinusoidal_positional_encoding(H, D)
+            if cfg.use_positional_encoding
+            else jnp.zeros((H, D), jnp.float32)
+        )
+        layers = params["attn_layers"]
+        he = history_emb if compute_dtype is None else history_emb.astype(compute_dtype)
+        out = fused_history_encoder(
+            he,
+            pe,
+            jnp.stack([l["in_proj"]["w"] for l in layers]),
+            jnp.stack([l["in_proj"]["b"] for l in layers]),
+            jnp.stack([l["out_proj"]["w"] for l in layers]),
+            jnp.stack([l["out_proj"]["b"] for l in layers]),
+            cfg.num_heads,
+        )
+        return out.astype(history_emb.dtype)
+
     mean_pooled = jnp.mean(history_emb, axis=1)  # [B, DI]
 
     x = history_emb

@@ -1,0 +1,440 @@
+"""Whole-history-encoder Pallas TPU kernel: PE + L attention layers + pool.
+
+The encoder's contract (reference user_history_encoder.py:80-121) consumes
+only TWO rows of the attention stack's output: position 0 of the final layer
+(most-recent item) and the mean-pool of the *input* embeddings.  Fusing the
+entire stack into one kernel exploits that:
+
+  * the batch tile stays VMEM-resident across all L layers — no inter-layer
+    HBM round trips (the per-layer kernel pays read+write of [B, H, D] per
+    layer) and 1 dispatch instead of L;
+  * the LAST layer computes attention only for query row 0 ([TB, 1, ...]
+    score/prob/out tensors) — an architectural fact, not an approximation;
+  * the mean-pool falls out of the already-loaded input tile for free.
+
+Attention math is the merged-head formulation from ops.pallas.fused_mha
+(all heads in one lane-width-NH*H batched matmul pair); bf16 operands / f32
+accumulation when the input is bf16.  The backward kernel recomputes the
+forward once per tile, keeps every layer's activations in VMEM, and walks
+the layers in reverse, accumulating stacked weight grads across the
+sequential grid.  Parity-tested against the dense reference path in
+interpret mode (CPU) and on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from two_tower_models_tpu.ops.pallas.fused_mha import (
+    _attend,
+    _group_ones,
+    _interpret,
+    _merge_heads,
+    _mm_dtype,
+    _round_up,
+    _split_heads_sum,
+    _sublane,
+    _NEG_INF,
+)
+
+
+def _layer_fwd(x, wi, bi, wo, bo, num_heads, hd, h_true, mm):
+    """One full attention layer on a VMEM-resident f32 [TB, H, D] tile.
+    Returns (y f32, residuals for backward)."""
+    tb, hp, d = x.shape
+    x2 = x.reshape(tb * hp, d).astype(mm)
+    qkv = jnp.dot(x2, wi.astype(mm), preferred_element_type=jnp.float32) + bi
+    q = qkv[:, :d].reshape(tb, hp, d).astype(mm)
+    k = qkv[:, d : 2 * d].reshape(tb, hp, d).astype(mm)
+    v = qkv[:, 2 * d :].reshape(tb, hp, d).astype(mm)
+    out, (p, k_all, v_all) = _attend(q, k, v, num_heads, hd, h_true, mm)
+    y = (
+        jnp.dot(
+            out.reshape(tb * hp, d).astype(mm),
+            wo.astype(mm),
+            preferred_element_type=jnp.float32,
+        )
+        + bo
+    ).reshape(tb, hp, d)
+    return y, (x2, q, p, k_all, v_all, out)
+
+
+def _thin_fwd(x, wi, bi, wo, bo, num_heads, hd, h_true, mm):
+    """Final layer: only query row 0 is consumed downstream, so score/prob/
+    out tensors are [TB, 1, ...].  Returns (y0 [TB, D] f32, residuals)."""
+    tb, hp, d = x.shape
+    nhp = num_heads * hp
+    scale = 1.0 / (hd**0.5)
+    x2 = x.reshape(tb * hp, d).astype(mm)
+    qkv = jnp.dot(x2, wi.astype(mm), preferred_element_type=jnp.float32) + bi
+    q0 = qkv[:, :d].reshape(tb, hp, d)[:, :1, :].astype(mm)  # [TB, 1, D]
+    k = qkv[:, d : 2 * d].reshape(tb, hp, d).astype(mm)
+    v = qkv[:, 2 * d :].reshape(tb, hp, d).astype(mm)
+    k_all = _merge_heads(k, num_heads, hd, mm)  # [TB, NH*H, D]
+    v_all = _merge_heads(v, num_heads, hd, mm)
+    s = (
+        jax.lax.dot_general(
+            q0, k_all,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [TB, 1, NH*H]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, nhp), 2)
+    s = jnp.where(col % hp < h_true, s, _NEG_INF)
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    denom = jax.lax.dot_general(
+        e.astype(mm), _group_ones(nhp, hp, mm),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = e / jnp.maximum(denom, 1e-30)  # [TB, 1, NH*H]
+    out0 = jax.lax.dot_general(
+        p.astype(mm), v_all,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # [TB, D]
+    y0 = (
+        jnp.dot(out0.astype(mm), wo.astype(mm), preferred_element_type=jnp.float32)
+        + bo
+    )  # [TB, D] (+ [1, D] broadcast)
+    return y0, (x2, q0, p, k_all, v_all, out0)
+
+
+def _enc_fwd_kernel(
+    x_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref,
+    *, num_heads, h_true, num_layers,
+):
+    tb, hp, d = x_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
+    xin = x_ref[...].astype(jnp.float32)
+    mean = jnp.sum(xin, axis=1) / h_true  # padded rows are zero
+    x = xin + pe_ref[...]
+    for l in range(num_layers - 1):
+        x, _ = _layer_fwd(
+            x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, h_true, mm
+        )
+    y0, _ = _thin_fwd(
+        x,
+        wi_ref[num_layers - 1],
+        bi_ref[num_layers - 1],
+        wo_ref[num_layers - 1],
+        bo_ref[num_layers - 1],
+        num_heads, hd, h_true, mm,
+    )
+    y_ref[...] = jnp.stack([y0, mean], axis=1).astype(y_ref.dtype)  # [TB, 2, D]
+
+
+def _layer_bwd(res, dy, wi, wo, num_heads, hd, h_true, mm):
+    """Backward of _layer_fwd.  dy: [TB, H, D] f32.  Returns
+    (dx [TB, H, D] f32, dwi, dbi, dwo, dbo contributions)."""
+    x2, q, p, k_all, v_all, out = res
+    tbhp, d = x2.shape
+    tb, hp, _ = q.shape
+    nhp = num_heads * hp
+    scale = 1.0 / (hd**0.5)
+
+    g2 = dy.reshape(tbhp, d).astype(mm)
+    ao2 = out.reshape(tbhp, d).astype(mm)
+    dwo = jax.lax.dot_general(
+        ao2, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(dy.reshape(tbhp, d), axis=0, keepdims=True)
+    do = jnp.dot(g2, wo.T.astype(mm), preferred_element_type=jnp.float32).reshape(
+        tb, hp, d
+    )
+    do_mm = do.astype(mm)
+    p_mm = p.astype(mm)
+    dp = jax.lax.dot_general(
+        do_mm, v_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv_all = jax.lax.dot_general(
+        p_mm, do_mm, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv = _split_heads_sum(dv_all, num_heads, hd, mm)
+    pdp_sum = jax.lax.dot_general(
+        (dp * p).astype(mm), _group_ones(nhp, hp, mm),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - pdp_sum) * scale).astype(mm)
+    dq = jax.lax.dot_general(
+        ds, k_all, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk_all = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = _split_heads_sum(dk_all, num_heads, hd, mm)
+
+    dqkv = jnp.concatenate(
+        [dq.reshape(tbhp, d), dk.reshape(tbhp, d), dv.reshape(tbhp, d)], axis=1
+    ).astype(mm)
+    dx = jnp.dot(dqkv, wi.T.astype(mm), preferred_element_type=jnp.float32).reshape(
+        tb, hp, d
+    )
+    dwi = jax.lax.dot_general(
+        x2, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbi = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    return dx, dwi, dbi, dwo, dbo
+
+
+def _thin_bwd(res, g0, wi, wo, num_heads, hd, h_true, mm):
+    """Backward of _thin_fwd.  g0: [TB, D] f32 cotangent of y0."""
+    x2, q0, p, k_all, v_all, out0 = res
+    tbhp, d = x2.shape
+    tb = q0.shape[0]
+    hp = tbhp // tb
+    nhp = num_heads * hp
+    scale = 1.0 / (hd**0.5)
+
+    g0_mm = g0.astype(mm)
+    dwo = jax.lax.dot_general(
+        out0.astype(mm), g0_mm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(g0, axis=0, keepdims=True)
+    do0 = jnp.dot(g0_mm, wo.T.astype(mm), preferred_element_type=jnp.float32)[
+        :, None, :
+    ]  # [TB, 1, D]
+    do_mm = do0.astype(mm)
+    p_mm = p.astype(mm)
+    dp = jax.lax.dot_general(
+        do_mm, v_all, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, 1, NH*H]
+    dv_all = jax.lax.dot_general(
+        p_mm, do_mm, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, NH*H, D]
+    dv = _split_heads_sum(dv_all, num_heads, hd, mm)
+    pdp_sum = jax.lax.dot_general(
+        (dp * p).astype(mm), _group_ones(nhp, hp, mm),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - pdp_sum) * scale).astype(mm)  # [TB, 1, NH*H]
+    dq0 = jax.lax.dot_general(
+        ds, k_all, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [TB, 1, D]
+    dk_all = jax.lax.dot_general(
+        ds, q0, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk = _split_heads_sum(dk_all, num_heads, hd, mm)
+
+    # dq is nonzero only at row 0
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, d), 1)
+    dq = jnp.where(row == 0, dq0, 0.0)  # broadcast [TB,1,D] across hp
+    dqkv = jnp.concatenate(
+        [dq.reshape(tbhp, d), dk.reshape(tbhp, d), dv.reshape(tbhp, d)], axis=1
+    ).astype(mm)
+    dx = jnp.dot(dqkv, wi.T.astype(mm), preferred_element_type=jnp.float32).reshape(
+        tb, hp, d
+    )
+    dwi = jax.lax.dot_general(
+        x2, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbi = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    return dx, dwi, dbi, dwo, dbo
+
+
+def _enc_bwd_kernel(
+    x_ref, g_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref,
+    *, num_heads, h_true, num_layers,
+):
+    tb, hp, d = x_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    # --- recompute forward, keeping every layer's residuals in VMEM ---
+    xin = x_ref[...].astype(jnp.float32)
+    x = xin + pe_ref[...]
+    residuals = []
+    for l in range(num_layers - 1):
+        x, res = _layer_fwd(
+            x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, h_true, mm
+        )
+        residuals.append(res)
+    lt = num_layers - 1
+    _, thin_res = _thin_fwd(
+        x, wi_ref[lt], bi_ref[lt], wo_ref[lt], bo_ref[lt], num_heads, hd, h_true, mm
+    )
+
+    # --- backward ---
+    g0 = g_ref[...][:, 0, :].astype(jnp.float32)  # cotangent of y0
+    gmean = g_ref[...][:, 1, :].astype(jnp.float32)  # cotangent of mean-pool
+
+    dy, dwi_l, dbi_l, dwo_l, dbo_l = _thin_bwd(
+        thin_res, g0, wi_ref[lt], wo_ref[lt], num_heads, hd, h_true, mm
+    )
+    dwi_ref[lt] += dwi_l
+    dbi_ref[lt] += dbi_l
+    dwo_ref[lt] += dwo_l
+    dbo_ref[lt] += dbo_l
+
+    for l in range(num_layers - 2, -1, -1):
+        dy, dwi_l, dbi_l, dwo_l, dbo_l = _layer_bwd(
+            residuals[l], dy, wi_ref[l], wo_ref[l], num_heads, hd, h_true, mm
+        )
+        dwi_ref[l] += dwi_l
+        dbi_ref[l] += dbi_l
+        dwo_ref[l] += dwo_l
+        dbo_ref[l] += dbo_l
+
+    # mean-pool path: every valid history row gets gmean / h_true
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, d), 1)
+    dmean = jnp.where(row < h_true, gmean[:, None, :] / h_true, 0.0)
+    dx_ref[...] = (dy + dmean).astype(dx_ref.dtype)
+
+
+def _pad_bh(x, tb, hp):
+    b, h, d = x.shape
+    return jnp.pad(x, ((0, _round_up(b, tb) - b), (0, hp - h), (0, 0)))
+
+
+def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    b, h_true, d = hist_emb.shape
+    num_layers = w_in.shape[0]
+    hp = _round_up(h_true, _sublane(hist_emb.dtype))
+    xp = _pad_bh(hist_emb, tile_b, hp)
+    bp = xp.shape[0]
+    pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    y = pl.pallas_call(
+        functools.partial(
+            _enc_fwd_kernel, num_heads=num_heads, h_true=h_true, num_layers=num_layers
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, 2, d), hist_emb.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        xp,
+        pe_p,
+        w_in.astype(jnp.float32),
+        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
+        w_out.astype(jnp.float32),
+        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+    )
+    return y[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_history_encoder(
+    hist_emb: jnp.ndarray,  # [B, H, D]  (newest item at row 0)
+    pe: jnp.ndarray,  # [H, D] positional encoding (zeros to disable)
+    w_in: jnp.ndarray,  # [L, D, 3D]
+    b_in: jnp.ndarray,  # [L, 3D]
+    w_out: jnp.ndarray,  # [L, D, D]
+    b_out: jnp.ndarray,  # [L, D]
+    num_heads: int,
+    tile_b: int = 64,
+) -> jnp.ndarray:
+    """[B, H, D] -> [B, 2, D]: (post-attention row 0, input mean-pool)."""
+    return _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
+
+
+def _vjp_fwd(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    y = _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
+    return y, (hist_emb, pe, w_in, b_in, w_out, b_out)
+
+
+def _vjp_bwd(num_heads, tile_b, res, g):
+    hist_emb, pe, w_in, b_in, w_out, b_out = res
+    b, h_true, d = hist_emb.shape
+    num_layers = w_in.shape[0]
+    # Residuals for all layers live in VMEM simultaneously; halve the tile.
+    tile_b = max(16, tile_b // 2)
+    hp = _round_up(h_true, _sublane(hist_emb.dtype))
+    xp = _pad_bh(hist_emb, tile_b, hp)
+    gp = jnp.pad(g, ((0, xp.shape[0] - b), (0, 0), (0, 0)))
+    bp = xp.shape[0]
+    pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    dx, dwi, dbi, dwo, dbo = pl.pallas_call(
+        functools.partial(
+            _enc_bwd_kernel, num_heads=num_heads, h_true=h_true, num_layers=num_layers
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, hp, d), hist_emb.dtype),
+            jax.ShapeDtypeStruct((num_layers, d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        xp,
+        gp.astype(hist_emb.dtype),
+        pe_p,
+        w_in.astype(jnp.float32),
+        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
+        w_out.astype(jnp.float32),
+        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+    )
+    return (
+        dx[:b, :h_true],
+        jnp.zeros_like(pe),  # PE is a fixed sinusoid, never trained
+        dwi.astype(w_in.dtype),
+        dbi.reshape(num_layers, -1).astype(b_in.dtype),
+        dwo.astype(w_out.dtype),
+        dbo.reshape(num_layers, -1).astype(b_out.dtype),
+    )
+
+
+fused_history_encoder.defvjp(_vjp_fwd, _vjp_bwd)
