@@ -305,9 +305,9 @@ def softmax_retrieval_loss(
     elif cfg.fused_loss:
         from two_tower_models_tpu.ops.pallas.fused_softmax import fused_in_batch_ce
 
-        ce, _ = fused_in_batch_ce(
-            user_embedding.astype(jnp.float32), item_embeddings.astype(jnp.float32)
-        )
+        # Embedding dtype flows into the kernel's MXU operands (bf16 under
+        # bf16 compute); all reductions inside accumulate in f32.
+        ce, _ = fused_in_batch_ce(user_embedding, item_embeddings)
     else:
         scores_local = jnp.dot(
             user_embedding, item_embeddings.T, preferred_element_type=jnp.float32

@@ -64,5 +64,10 @@ def embedding_init(key, vocab: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
 
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Replicated-table lookup.  For row-sharded tables use
-    two_tower_models_tpu.parallel.embedding.sharded_embedding_lookup."""
+    two_tower_models_tpu.parallel.embedding.sharded_embedding_lookup.
+
+    The adjoint (scatter-add of ~131k rows at bench scale) costs ~1.7ms/step
+    in XLA's lowering; measured alternatives (segment_sum, sorted scatter,
+    bf16 accumulation) lower to the same or worse HLO on this toolchain, so
+    the plain ``take`` autodiff path stands."""
     return jnp.take(table, ids, axis=0)

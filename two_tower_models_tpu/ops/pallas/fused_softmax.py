@@ -102,8 +102,10 @@ def _fwd(user_emb: jnp.ndarray, item_emb: jnp.ndarray, tile: int):
     b_true, d = user_emb.shape
     tile = _eff_tile(tile, b_true)
     bp = _round_up(b_true, tile)
-    u = jnp.pad(user_emb.astype(jnp.float32), ((0, bp - b_true), (0, 0)))
-    it = jnp.pad(item_emb.astype(jnp.float32), ((0, bp - b_true), (0, 0)))
+    # Keep the embedding dtype: bf16 operands run the MXU at full rate,
+    # while every reduction below accumulates in f32.
+    u = jnp.pad(user_emb, ((0, bp - b_true), (0, 0)))
+    it = jnp.pad(item_emb, ((0, bp - b_true), (0, 0)))
     nb = bp // tile
 
     grid = (nb, nb)
@@ -158,12 +160,12 @@ def _bwd_du_kernel(u_ref, i_ref, lse_ref, g_ref, du_ref, acc_ref, *, b_true, til
     p = jnp.exp(s - lse_ref[:])  # [TB, TC]
     col_ids = bj * tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     p = jnp.where(col_ids < b_true, p, 0.0)
-    gp = p * g_ref[:]  # [TB, TC] row-scaled
+    gp = (p * g_ref[:]).astype(i_ref.dtype)  # [TB, TC] row-scaled
     acc_ref[:] += jnp.dot(gp, i_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(bi == bj)
     def _diag():
-        acc_ref[:] += -g_ref[:] * i_ref[:]
+        acc_ref[:] += -g_ref[:] * i_ref[:].astype(jnp.float32)
 
     @pl.when(bj == nc - 1)
     def _finish():
@@ -183,13 +185,13 @@ def _bwd_di_kernel(u_ref, i_ref, lse_ref, g_ref, di_ref, acc_ref, *, b_true, til
     p = jnp.exp(s - lse_ref[:])
     col_ids = bj * tile + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     p = jnp.where(col_ids < b_true, p, 0.0)
-    gp = p * g_ref[:]  # [TB, TC]
+    gp = (p * g_ref[:]).astype(u_ref.dtype)  # [TB, TC]
     acc_ref[:] += jnp.dot(gp.T, u_ref[:], preferred_element_type=jnp.float32)  # [TC, D]
 
     @pl.when(bi == bj)
     def _diag():
         # subtract g_j * u_j for the rows this col tile owns (same block idx)
-        acc_ref[:] += -g_ref[:] * u_ref[:]
+        acc_ref[:] += -g_ref[:] * u_ref[:].astype(jnp.float32)
 
     @pl.when(bi == nr - 1)
     def _finish():
@@ -202,8 +204,8 @@ def _bwd(tile, res, grads):
     b_true, d = user_emb.shape
     tile = _eff_tile(tile, b_true)
     bp = _round_up(b_true, tile)
-    u = jnp.pad(user_emb.astype(jnp.float32), ((0, bp - b_true), (0, 0)))
-    it = jnp.pad(item_emb.astype(jnp.float32), ((0, bp - b_true), (0, 0)))
+    u = jnp.pad(user_emb, ((0, bp - b_true), (0, 0)))
+    it = jnp.pad(item_emb, ((0, bp - b_true), (0, 0)))
     lse_p = jnp.pad(lse, (0, bp - b_true))[:, None]
     g_p = jnp.pad(g_ce, (0, bp - b_true))[:, None]
     nb = bp // tile
