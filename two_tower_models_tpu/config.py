@@ -226,6 +226,11 @@ class TrainConfig:
     checkpoint_every: int = 0  # steps; 0 = disabled
     profile_dir: Optional[str] = None
     donate_state: bool = True
+    # Debug mode: jax_debug_nans aborts the step that first produces a NaN
+    # with a de-optimized re-run pinpointing the op (SURVEY §5 sanitizers —
+    # the functional model has no data races to detect, so NaN/Inf tracing
+    # is the remaining numeric sanitizer).
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -42,3 +42,22 @@ def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
 
 def single_device_mesh() -> Mesh:
     return make_mesh(MeshConfig(data=1, model=1))
+
+
+def initialize_multihost(
+    coordinator_address=None, num_processes=None, process_id=None
+) -> None:
+    """Multi-host bring-up: one call per host before any jax.devices() use.
+
+    Wraps ``jax.distributed.initialize`` (the TPU-pod equivalent of the
+    process-group init the reference never does — SURVEY §2.5).  On Cloud TPU
+    all three arguments auto-detect from the metadata server; pass them
+    explicitly elsewhere.  After this, ``jax.devices()`` spans the full slice
+    and ``make_mesh`` lays the global mesh over it; each host feeds its local
+    shard of every batch (see parallel.sharding.data_pspecs).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

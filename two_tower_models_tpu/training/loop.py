@@ -44,6 +44,8 @@ def train(
     """Run the experiment; returns summary dict (final loss, recall, timings)."""
     logger = logger or JsonlLogger()
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
+    if train_cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
     data = make_synthetic_data(data_cfg, label_cols=label_cols)
@@ -175,6 +177,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_file", default=None)
     p.add_argument("--profile_dir", default=None, help="write an xprof trace of steps 3-7")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug_nans", action="store_true", help="abort on first NaN (jax_debug_nans)")
+    # mesh: data*model must divide the available device count
+    p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis")
+    p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize before building the mesh (TPU pods)",
+    )
     return p
 
 
@@ -206,12 +216,24 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile_dir,
+        debug_nans=args.debug_nans,
     )
-    return ExperimentConfig(model=model, data=data, train=train_c)
+    from two_tower_models_tpu.config import MeshConfig
+
+    mesh = MeshConfig(data=args.mesh_data, model=args.mesh_model)
+    return ExperimentConfig(model=model, data=data, train=train_c, mesh=mesh)
+
+
+def _maybe_init_multihost(args) -> None:
+    if getattr(args, "multihost", False):
+        from two_tower_models_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    _maybe_init_multihost(args)
     exp = config_from_args(args)
     logger = JsonlLogger(args.log_file)
     summary = train(exp, logger)
