@@ -90,6 +90,19 @@ def train(
         num_params=sum(p.size for p in jax.tree_util.tree_leaves(state.params)),
     )
 
+    def eval_recall(params):
+        """Refresh the corpus from the current item tower, then recall@k on a
+        held-out sample (the reference cannot do this at all: its corpus is
+        frozen random noise, SURVEY §2.4)."""
+        corpus = refresh_corpus(
+            params, model_cfg, data.catalog_ids, data.catalog_features
+        )
+        eval_key = jax.random.key(data_cfg.seed + 100)
+        eval_idx = jax.random.permutation(eval_key, data.num_samples)[
+            : min(1024, data.num_samples)
+        ]
+        return corpus, float(recall_fn(params, corpus, gather_batch(data, eval_idx)))
+
     epoch_losses = []
     t_train0 = time.monotonic()
     examples = 0
@@ -113,6 +126,15 @@ def train(
             if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
                 logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
             if (
+                train_cfg.eval_every
+                and int(state.step) % train_cfg.eval_every == 0
+            ):
+                _, recall_mid = eval_recall(state.params)
+                logger.log(
+                    "eval", step=int(state.step), recall_at_k=recall_mid,
+                    top_k=train_cfg.eval_top_k,
+                )
+            if (
                 ckpt_mgr
                 and train_cfg.checkpoint_every
                 and int(state.step) % train_cfg.checkpoint_every == 0
@@ -129,15 +151,7 @@ def train(
     train_seconds = time.monotonic() - t_train0
 
     # Refresh corpus from the trained item tower, then eval recall@k.
-    corpus = refresh_corpus(
-        state.params, model_cfg, data.catalog_ids, data.catalog_features
-    )
-    eval_key = jax.random.key(data_cfg.seed + 100)
-    eval_idx = jax.random.permutation(eval_key, data.num_samples)[
-        : min(1024, data.num_samples)
-    ]
-    eval_batch = gather_batch(data, eval_idx)
-    recall = float(recall_fn(state.params, corpus, eval_batch))
+    corpus, recall = eval_recall(state.params)
     logger.log("eval", recall_at_k=recall, top_k=train_cfg.eval_top_k)
 
     if ckpt_mgr:
@@ -178,6 +192,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default=None, help="write an xprof trace of steps 3-7")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true", help="abort on first NaN (jax_debug_nans)")
+    p.add_argument("--eval_every", type=int, default=0, help="mid-training recall@k every N steps")
     # mesh: data*model must divide the available device count
     p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
@@ -217,6 +232,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
+        eval_every=args.eval_every,
     )
     from two_tower_models_tpu.config import MeshConfig
 
