@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-fused-loss", action="store_true", help="disable the Pallas fused softmax-CE loss kernel")
     p.add_argument("--no-fused-mha", action="store_true", help="disable the Pallas fused attention-layer kernel")
+    p.add_argument("--fused-adam", action="store_true",
+                   help="use the Pallas one-pass Adam kernel (measured ~1.1ms SLOWER end-to-end: the pallas_call is a fusion/scheduling barrier XLA's native adam chain doesn't have)")
     args = p.parse_args(argv)
 
     import jax
@@ -76,7 +78,10 @@ def main(argv=None):
                 cfg.history_encoder, fused_kernel=False, fused_encoder=False
             ),
         )
-    tcfg = TrainConfig(batch_size=args.batch_size, learning_rate=1e-3)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=1e-3,
+        fused_adam=args.fused_adam,
+    )
 
     state = create_train_state(jax.random.key(0), cfg, tcfg)
     batch = _make_batch(cfg, args.batch_size)

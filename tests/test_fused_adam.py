@@ -1,0 +1,113 @@
+"""Fused Adam kernel (ops/pallas/fused_adam.py) vs optax.adam — identical
+math, interchangeable opt-state.  Interpret mode on the CPU test backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from two_tower_models_tpu.ops.pallas.fused_adam import fused_adam_step
+
+LR = 1e-3
+
+
+def _tree(seed=0):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    return {
+        "big_table": jax.random.normal(ks[0], (1024, 128)),  # kernel path
+        "odd_shape": jax.random.normal(ks[1], (777, 33)),  # pad path
+        "mlp": [
+            {"w": jax.random.normal(ks[2], (16, 32)), "b": jnp.zeros((32,))}
+        ],  # small-leaf jnp path
+        "vec": jax.random.normal(ks[3], (300,)),
+    }
+
+
+def test_matches_optax_over_steps():
+    params = _tree()
+    tx = optax.adam(LR)
+    opt_state = tx.init(params)
+    p_ref, s_ref = params, opt_state
+    p_fused, s_fused = params, opt_state
+
+    for step in range(3):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.cos(p + step).astype(p.dtype), p_ref
+        )
+        u, s_ref = tx.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        p_fused, s_fused = fused_adam_step(
+            p_fused, grads, s_fused, learning_rate=LR
+        )
+
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref),
+        jax.tree_util.tree_leaves(p_fused),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6,
+            err_msg=f"params {jax.tree_util.keystr(path)}",
+        )
+    # moments + count interchangeable with the optax state
+    assert int(s_fused[0].count) == int(s_ref[0].count)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(s_ref[0].mu),
+        jax.tree_util.tree_leaves(s_fused[0].mu),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6,
+            err_msg=f"mu {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_train_step_flag_parity():
+    """make_train_step(fused_adam=True) matches the optax step."""
+    import dataclasses
+
+    from two_tower_models_tpu.config import ModelConfig, TrainConfig
+    from two_tower_models_tpu.training.data import DataConfig  # noqa: F401
+    from two_tower_models_tpu.training.state import create_train_state
+    from two_tower_models_tpu.training.step import make_train_step
+    from two_tower_models_tpu.training.data import make_synthetic_data
+    from two_tower_models_tpu.config import DataConfig
+
+    cfg = ModelConfig(
+        user_id_hash_size=512,
+        user_id_embedding_dim=16,
+        item_id_hash_size=512,
+        item_id_embedding_dim=16,
+        user_features_size=8,
+        item_features_size=8,
+        user_value_weights=(1.0,),
+        history_len=4,
+    )
+    tcfg = TrainConfig(batch_size=32, learning_rate=1e-3, donate_state=False)
+    data = make_synthetic_data(
+        DataConfig(num_samples=64, feature_dim=8, history_len=4, num_tasks=1,
+                   num_users=32, num_items=64)
+    )
+    idx = jnp.arange(32)
+
+    # One step at tight tolerance: across multiple steps Adam amplifies
+    # rounding-level noise unboundedly on near-zero-gradient leaves
+    # (d/dv [m/(sqrt(v)+eps)] explodes as v -> 0), so chained-step exactness
+    # is meaningless; the direct multi-step parity (with well-conditioned
+    # grads) is test_matches_optax_over_steps.
+    outs = {}
+    for fused in (False, True):
+        state = create_train_state(jax.random.key(0), cfg, tcfg)
+        step = make_train_step(cfg, dataclasses.replace(tcfg, fused_adam=fused))
+        state, metrics = step(state, data, idx)
+        outs[fused] = (state, metrics)
+
+    np.testing.assert_allclose(
+        float(outs[True][1]["loss"]), float(outs[False][1]["loss"]), rtol=1e-6
+    )
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(outs[False][0].params),
+        jax.tree_util.tree_leaves(outs[True][0].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-6, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -231,6 +231,12 @@ class TrainConfig:
     # the functional model has no data races to detect, so NaN/Inf tracing
     # is the remaining numeric sanitizer).
     debug_nans: bool = False
+    # One-pass Pallas Adam (ops.pallas.fused_adam): same math/state as
+    # optax.adam.  Off by default — measured ~1.1ms SLOWER end-to-end at the
+    # bench config: the pallas_call acts as a fusion/scheduling barrier,
+    # whereas XLA overlaps its native adam chain with the backward pass for
+    # free (BASELINE.md).  Kept as a config point and parity-tested.
+    fused_adam: bool = False
 
 
 @dataclass(frozen=True)

@@ -34,8 +34,18 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
             state.params, model_cfg, batch
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if train_cfg.fused_adam:
+            # Single read-modify-write pass per tensor (ops.pallas.fused_adam);
+            # same math and opt-state structure as the optax path.
+            from two_tower_models_tpu.ops.pallas.fused_adam import fused_adam_step
+
+            params, opt_state = fused_adam_step(
+                state.params, grads, state.opt_state,
+                learning_rate=train_cfg.learning_rate,
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,
             params=params,
