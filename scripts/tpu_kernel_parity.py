@@ -1,0 +1,152 @@
+"""Kernel parity on the LIVE backend (real TPU when available).
+
+The pytest suite forces a CPU backend (tests/conftest.py), which exercises
+the Pallas kernels in interpret mode only — Mosaic compilation bugs and
+TPU-numerics drift are invisible to it.  This script runs every kernel's
+forward + VJP against its dense reference on whatever backend JAX selects,
+with tolerances appropriate to the backend (TPU f32 matmuls accumulate
+differently than CPU; observed fwd drift up to ~2e-3 at B=4096).
+
+Run on the TPU container:  python scripts/tpu_kernel_parity.py
+Exit code 0 = all parities hold.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+
+def check(name, got, want, tol):
+    r = _rel(got, want)
+    status = "ok" if r <= tol else "FAIL"
+    print(f"{status:4s} {name}: rel err {r:.3e} (tol {tol:g})")
+    return r <= tol
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    # TPU f32 scores at B=4k accumulate through bf16-ish passes in places;
+    # measured drift up to ~2e-3 on the encoder forward.
+    tol_f32 = 5e-3 if on_tpu else 5e-4
+    tol_bf16 = 3e-2
+    ok = True
+    print(f"backend: {jax.default_backend()}")
+
+    # ---- fused MHA layer -------------------------------------------------
+    from two_tower_models_tpu.ops.pallas.fused_mha import (
+        fused_mha_layer,
+        mha_layer_reference,
+    )
+
+    B, H, D, NH = 1024, 32, 64, 4
+    ks = jax.random.split(jax.random.key(0), 5)
+    x = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+    wi = jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.05
+    bi = jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.01
+    wo = jax.random.normal(ks[3], (D, D), jnp.float32) * 0.05
+    bo = jax.random.normal(ks[4], (D,), jnp.float32) * 0.01
+
+    ref = mha_layer_reference(x, wi, bi, wo, bo, NH)
+    ok &= check("mha fwd f32", fused_mha_layer(x, wi, bi, wo, bo, NH), ref, tol_f32)
+    ok &= check(
+        "mha fwd bf16",
+        fused_mha_layer(x.astype(jnp.bfloat16), wi, bi, wo, bo, NH), ref, tol_bf16,
+    )
+    g_ref = jax.grad(lambda *a: jnp.sum(mha_layer_reference(*a, NH) ** 2), (0, 1, 3))(
+        x, wi, bi, wo, bo
+    )
+    g_f = jax.grad(lambda *a: jnp.sum(fused_mha_layer(*a, NH) ** 2), (0, 1, 3))(
+        x, wi, bi, wo, bo
+    )
+    for n, a, b in zip(("dx", "dwi", "dwo"), g_f, g_ref):
+        ok &= check(f"mha vjp {n} f32", a, b, tol_f32)
+
+    # ---- whole-encoder kernel -------------------------------------------
+    import dataclasses
+
+    from two_tower_models_tpu.config import HistoryEncoderConfig
+    from two_tower_models_tpu.models.history_encoder import (
+        history_encoder_apply,
+        history_encoder_init,
+    )
+
+    cfg = HistoryEncoderConfig(num_heads=4, num_layers=3)
+    fcfg = dataclasses.replace(cfg, fused_encoder=True)
+    params = history_encoder_init(jax.random.key(1), D, cfg)
+    he = jax.random.normal(jax.random.key(2), (B, H, D), jnp.float32)
+
+    dense = history_encoder_apply(params, he, cfg)
+    ok &= check("encoder fwd f32", history_encoder_apply(params, he, fcfg), dense, tol_f32)
+    ok &= check(
+        "encoder fwd bf16",
+        history_encoder_apply(params, he, fcfg, compute_dtype=jnp.bfloat16),
+        dense, tol_bf16,
+    )
+
+    def loss(c):
+        def f(p, xx):
+            out = history_encoder_apply(p, xx, c)
+            w = jnp.asarray([1.0, 0.25])[None, :, None]
+            return jnp.sum((out * w) ** 2)
+
+        return jax.grad(f, argnums=(0, 1))(params, he)
+
+    gd = loss(cfg)
+    gf = loss(fcfg)  # f32 backward: exercises the VMEM-budgeted tile on TPU
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(gd), jax.tree_util.tree_leaves(gf)
+    ):
+        ok &= check(f"encoder vjp {jax.tree_util.keystr(path)}", b, a, tol_f32)
+
+    # ---- fused softmax-CE -------------------------------------------------
+    from two_tower_models_tpu.ops.pallas.fused_softmax import (
+        fused_in_batch_ce,
+        in_batch_ce_reference,
+    )
+
+    u = jax.random.normal(jax.random.key(3), (4096, 64), jnp.float32)
+    it = jax.random.normal(jax.random.key(4), (4096, 64), jnp.float32)
+    ce_ref, _ = in_batch_ce_reference(u, it)
+    ok &= check("ce fwd f32", fused_in_batch_ce(u, it)[0], ce_ref, tol_f32)
+    gu_r, gi_r = jax.grad(
+        lambda u, i: jnp.sum(in_batch_ce_reference(u, i)[0]), (0, 1)
+    )(u, it)
+    gu_f, gi_f = jax.grad(lambda u, i: jnp.sum(fused_in_batch_ce(u, i)[0]), (0, 1))(
+        u, it
+    )
+    ok &= check("ce vjp du f32", gu_f, gu_r, tol_f32)
+    ok &= check("ce vjp di f32", gi_f, gi_r, tol_f32)
+
+    # ---- fused adam -------------------------------------------------------
+    import optax
+
+    from two_tower_models_tpu.ops.pallas.fused_adam import fused_adam_step
+
+    p = {"t": jax.random.normal(jax.random.key(5), (1024, 128))}
+    g = {"t": jax.random.normal(jax.random.key(6), (1024, 128))}
+    tx = optax.adam(1e-3)
+    s = tx.init(p)
+    upd, s2 = tx.update(g, s, p)
+    p_ref = optax.apply_updates(p, upd)
+    p_f, _ = fused_adam_step(p, g, s, learning_rate=1e-3)
+    ok &= check("adam f32", p_f["t"], p_ref["t"], 1e-6)
+
+    print("ALL OK" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,12 +64,10 @@ def test_train_step_flag_parity():
     """make_train_step(fused_adam=True) matches the optax step."""
     import dataclasses
 
-    from two_tower_models_tpu.config import ModelConfig, TrainConfig
-    from two_tower_models_tpu.training.data import DataConfig  # noqa: F401
+    from two_tower_models_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from two_tower_models_tpu.training.data import make_synthetic_data
     from two_tower_models_tpu.training.state import create_train_state
     from two_tower_models_tpu.training.step import make_train_step
-    from two_tower_models_tpu.training.data import make_synthetic_data
-    from two_tower_models_tpu.config import DataConfig
 
     cfg = ModelConfig(
         user_id_hash_size=512,

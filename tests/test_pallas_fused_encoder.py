@@ -75,6 +75,42 @@ def test_vjp_matches_dense():
         )
 
 
+def test_pe_gradient_matches_dense():
+    """The PE argument is differentiable: its cotangent must match autodiff
+    through the dense path (a learnable-PE caller relies on this)."""
+    cfg, params, x = _setup(48, 16, 64, 4, 2)
+    pe = jax.random.normal(jax.random.key(9), (16, 64), jnp.float32) * 0.1
+    layers = params["attn_layers"]
+    stacked = (
+        jnp.stack([l["in_proj"]["w"] for l in layers]),
+        jnp.stack([l["in_proj"]["b"] for l in layers]),
+        jnp.stack([l["out_proj"]["w"] for l in layers]),
+        jnp.stack([l["out_proj"]["b"] for l in layers]),
+    )
+
+    def dense_fn(pe_):
+        # dense equivalent: add pe, run layers, take (row0, mean-of-input)
+        h = x + pe_[None]
+        from two_tower_models_tpu.ops.pallas.fused_mha import mha_layer_reference
+
+        for l in layers:
+            h = mha_layer_reference(
+                h, l["in_proj"]["w"], l["in_proj"]["b"],
+                l["out_proj"]["w"], l["out_proj"]["b"], 4,
+            )
+        out = jnp.stack([h[:, 0, :], jnp.mean(x, axis=1)], axis=1)
+        return jnp.sum(out**2)
+
+    def fused_fn(pe_):
+        return jnp.sum(fused_history_encoder(x, pe_, *stacked, 4) ** 2)
+
+    g_ref = jax.grad(dense_fn)(pe)
+    g_fused = jax.grad(fused_fn)(pe)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=5e-4, atol=5e-4
+    )
+
+
 def test_weight_grads_accumulate_across_tiles():
     # grads must be identical whether the batch spans 1 grid tile or many
     cfg, params, x = _setup(128, 16, 64, 4, 2)

@@ -18,7 +18,8 @@ accumulation when the input is bf16.  The backward kernel recomputes the
 forward once per tile, keeps every layer's activations in VMEM, and walks
 the layers in reverse, accumulating stacked weight grads across the
 sequential grid.  Parity-tested against the dense reference path in
-interpret mode (CPU) and on TPU.
+interpret mode (tests/test_pallas_fused_encoder.py, CPU) and on real TPU
+via scripts/tpu_kernel_parity.py (fwd + every weight/input/PE gradient).
 """
 
 from __future__ import annotations
@@ -255,7 +256,7 @@ def _thin_bwd(res, g0, wi, wo, num_heads, hd, h_true, mm):
 
 def _enc_bwd_kernel(
     x_ref, g_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref,
-    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref,
+    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref, dpe_ref,
     *, num_heads, h_true, num_layers,
 ):
     tb, hp, d = x_ref.shape
@@ -269,6 +270,7 @@ def _enc_bwd_kernel(
         dbi_ref[...] = jnp.zeros_like(dbi_ref)
         dwo_ref[...] = jnp.zeros_like(dwo_ref)
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dpe_ref[...] = jnp.zeros_like(dpe_ref)
 
     # --- recompute forward, keeping every layer's residuals in VMEM ---
     xin = x_ref[...].astype(jnp.float32)
@@ -304,6 +306,10 @@ def _enc_bwd_kernel(
         dbi_ref[l] += dbi_l
         dwo_ref[l] += dwo_l
         dbo_ref[l] += dbo_l
+
+    # PE enters at layer 0's input (x = xin + pe): its cotangent is dy summed
+    # over the batch tile (the mean-pool path bypasses the PE add).
+    dpe_ref[...] += jnp.sum(dy, axis=0)
 
     # mean-pool path: every valid history row gets gmean / h_true
     row = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, d), 1)
@@ -375,20 +381,36 @@ def _vjp_fwd(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     return y, (hist_emb, pe, w_in, b_in, w_out, b_out)
 
 
+def _bwd_tile(tile_b, num_layers, num_heads, hp, d, dtype) -> int:
+    """Backward tile sized to a VMEM budget: every layer's residuals live in
+    VMEM simultaneously, so per-batch-row bytes scale with num_layers and the
+    compute dtype.  A fixed halving OOMs the 16 MB scoped limit under f32 at
+    the flagship shape (verified on v5e: 19.3 MB at tile 32, L=3)."""
+    mm_size = 2 if dtype == jnp.bfloat16 else 4
+    # Calibrated on v5e at the flagship shape (hp=32, d=64, nh=4):
+    # L=3 f32 fits at tile 16 (tile 32 used 19.3 MB > 16 MB), L=3 bf16 fits
+    # at tile 32.  Residual bytes scale ~linearly in num_layers, mm_size, and
+    # hp*d, so scale the calibrated row count by those ratios.
+    rows = (192 * (32 * 64)) // max(1, num_layers * mm_size * hp * d)
+    tile = tile_b
+    while tile > 8 and tile > rows:
+        tile //= 2
+    return max(8, tile)
+
+
 def _vjp_bwd(num_heads, tile_b, res, g):
     hist_emb, pe, w_in, b_in, w_out, b_out = res
     b, h_true, d = hist_emb.shape
     num_layers = w_in.shape[0]
-    # Residuals for all layers live in VMEM simultaneously; halve the tile.
-    tile_b = max(16, tile_b // 2)
     hp = _round_up(h_true, _sublane(hist_emb.dtype))
+    tile_b = _bwd_tile(tile_b, num_layers, num_heads, hp, d, hist_emb.dtype)
     xp = _pad_bh(hist_emb, tile_b, hp)
     gp = jnp.pad(g, ((0, xp.shape[0] - b), (0, 0), (0, 0)))
     bp = xp.shape[0]
     pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
     const = lambda i: (0, 0)
     const3 = lambda i: (0, 0, 0)
-    dx, dwi, dbi, dwo, dbo = pl.pallas_call(
+    dx, dwi, dbi, dwo, dbo, dpe = pl.pallas_call(
         functools.partial(
             _enc_bwd_kernel, num_heads=num_heads, h_true=h_true, num_layers=num_layers
         ),
@@ -408,6 +430,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
             pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, hp, d), hist_emb.dtype),
@@ -415,6 +438,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
             jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
             jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
             jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((hp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
@@ -429,7 +453,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
     )
     return (
         dx[:b, :h_true],
-        jnp.zeros_like(pe),  # PE is a fixed sinusoid, never trained
+        dpe[:h_true].astype(pe.dtype),
         dwi.astype(w_in.dtype),
         dbi.reshape(num_layers, -1).astype(b_in.dtype),
         dwo.astype(w_out.dtype),

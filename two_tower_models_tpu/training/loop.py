@@ -44,8 +44,18 @@ def train(
     """Run the experiment; returns summary dict (final loss, recall, timings)."""
     logger = logger or JsonlLogger()
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
+    prev_debug_nans = jax.config.jax_debug_nans
     if train_cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    try:
+        return _train_inner(exp, logger)
+    finally:
+        if train_cfg.debug_nans:
+            jax.config.update("jax_debug_nans", prev_debug_nans)
+
+
+def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
+    model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
 
     label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
     data = make_synthetic_data(data_cfg, label_cols=label_cols)
@@ -53,6 +63,12 @@ def train(
 
     mesh_cfg = exp.mesh
     if mesh_cfg.data * mesh_cfg.model > 1:
+        if train_cfg.fused_adam:
+            raise ValueError(
+                "fused_adam is a single-chip optimization; the sharded "
+                "shard_map step uses the optax path (and measures faster "
+                "anyway, BASELINE.md) — unset TrainConfig.fused_adam"
+            )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh
@@ -125,19 +141,19 @@ def train(
             examples += train_cfg.batch_size
             if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
                 logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
-            if (
-                train_cfg.eval_every
-                and int(state.step) % train_cfg.eval_every == 0
-            ):
+            # Host-side step counter: int(state.step) would force a
+            # host-device sync EVERY iteration, serializing async dispatch.
+            global_step = epoch * n_batches + i + 1
+            if train_cfg.eval_every and global_step % train_cfg.eval_every == 0:
                 _, recall_mid = eval_recall(state.params)
                 logger.log(
-                    "eval", step=int(state.step), recall_at_k=recall_mid,
+                    "eval", step=global_step, recall_at_k=recall_mid,
                     top_k=train_cfg.eval_top_k,
                 )
             if (
                 ckpt_mgr
                 and train_cfg.checkpoint_every
-                and int(state.step) % train_cfg.checkpoint_every == 0
+                and global_step % train_cfg.checkpoint_every == 0
             ):
                 ckpt_mgr.save(state)
         avg_loss = float(loss_sum) / n_batches  # one sync per epoch

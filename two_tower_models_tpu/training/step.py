@@ -36,7 +36,10 @@ def make_train_step(
         )
         if train_cfg.fused_adam:
             # Single read-modify-write pass per tensor (ops.pallas.fused_adam);
-            # same math and opt-state structure as the optax path.
+            # same math and opt-state structure as the optax path.  NOTE: this
+            # branch hardcodes plain-Adam semantics from train_cfg — if
+            # make_optimizer ever grows schedules/clipping/decay, it must not
+            # be combined with fused_adam (the loop guards the sharded path).
             from two_tower_models_tpu.ops.pallas.fused_adam import fused_adam_step
 
             params, opt_state = fused_adam_step(
