@@ -119,16 +119,30 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         ]
         return corpus, float(recall_fn(params, corpus, gather_batch(data, eval_idx)))
 
+    # Resumable data-iterator state (SURVEY §5): the batch schedule is a pure
+    # function of (seed, epoch), so a restored step count reconstructs the
+    # exact position — completed epochs and leading batches are skipped
+    # instead of retrained.
+    start_step = int(state.step)
+    start_epoch = min(start_step // n_batches, train_cfg.num_epochs)
+    if start_epoch:
+        logger.log("resume_skip", epochs=start_epoch, steps=start_step)
+
     epoch_losses = []
     t_train0 = time.monotonic()
     examples = 0
-    for epoch in range(train_cfg.num_epochs):
+    for epoch in range(start_epoch, train_cfg.num_epochs):
         key = jax.random.fold_in(jax.random.key(train_cfg.seed + 1), epoch)
+        skip = start_step - epoch * n_batches if epoch == start_epoch else 0
         loss_sum = jnp.zeros(())
         t0 = time.monotonic()
+        n_run = 0
         for i, idx in enumerate(
             epoch_batches(key, data.num_samples, train_cfg.batch_size)
         ):
+            if i < skip:
+                continue
+            n_run += 1
             # Profile a small post-warmup window of epoch 0 (steps 3..7).
             if train_cfg.profile_dir and epoch == 0 and i == 3:
                 jax.profiler.start_trace(train_cfg.profile_dir)
@@ -156,8 +170,8 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 and global_step % train_cfg.checkpoint_every == 0
             ):
                 ckpt_mgr.save(state)
-        avg_loss = float(loss_sum) / n_batches  # one sync per epoch
-        epoch_losses.append(avg_loss)
+        avg_loss = float(loss_sum) / max(n_run, 1)  # one sync per epoch
+        epoch_losses.append((epoch, avg_loss))
         logger.log(
             "epoch",
             epoch=epoch,
@@ -175,8 +189,9 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         ckpt_mgr.close()
 
     return {
-        "epoch_losses": epoch_losses,
-        "final_loss": epoch_losses[-1] if epoch_losses else None,
+        "epoch_losses": [l for _, l in epoch_losses],
+        "epoch_numbers": [e for e, _ in epoch_losses],
+        "final_loss": epoch_losses[-1][1] if epoch_losses else None,
         "recall_at_k": recall,
         "train_seconds": train_seconds,
         "examples_per_sec": examples / max(train_seconds, 1e-9),
@@ -269,7 +284,7 @@ def main(argv=None):
     exp = config_from_args(args)
     logger = JsonlLogger(args.log_file)
     summary = train(exp, logger)
-    for epoch, loss in enumerate(summary["epoch_losses"]):
+    for epoch, loss in zip(summary["epoch_numbers"], summary["epoch_losses"]):
         print(f"Epoch [{epoch + 1}/{exp.train.num_epochs}] - Loss: {loss:.4f}")
     print(f"recall@{exp.train.eval_top_k}: {summary['recall_at_k']:.4f}")
     return summary
