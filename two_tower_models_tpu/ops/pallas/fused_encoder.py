@@ -14,9 +14,12 @@ entire stack into one kernel exploits that:
 
 Attention math is the merged-head formulation from ops.pallas.fused_mha
 (all heads in one lane-width-NH*H batched matmul pair); bf16 operands / f32
-accumulation when the input is bf16.  The backward kernel recomputes the
-forward once per tile, keeps every layer's activations in VMEM, and walks
-the layers in reverse, accumulating stacked weight grads across the
+accumulation when the input is bf16.  Two backward strategies (module flag
+_RESIDUAL_BWD, selected by measurement): the default forward streams out
+each layer's input + attention probabilities and the backward rebuilds the
+rest with one qkv and one PV matmul per layer (no score matmul / exp /
+denominator — 15% faster at the flagship shape); the alternative recomputes
+the full forward per tile.  Both accumulate stacked weight grads across the
 sequential grid.  Parity-tested against the dense reference path in
 interpret mode (tests/test_pallas_fused_encoder.py, CPU) and on real TPU
 via scripts/tpu_kernel_parity.py (fwd + every weight/input/PE gradient).
@@ -130,6 +133,109 @@ def _enc_fwd_kernel(
         num_heads, hd, h_true, mm,
     )
     y_ref[...] = jnp.stack([y0, mean], axis=1).astype(y_ref.dtype)  # [TB, 2, D]
+
+
+def _enc_fwd_res_kernel(
+    x_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref, xs_ref, ps_ref,
+    *, num_heads, h_true, num_layers,
+):
+    """Forward that additionally streams out each layer's INPUT (xs) and
+    attention probabilities (ps) so the backward can skip the score/softmax
+    recompute.  ps[L-1] holds only query row 0 (thin final layer)."""
+    tb, hp, d = x_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
+    xin = x_ref[...].astype(jnp.float32)
+    mean = jnp.sum(xin, axis=1) / h_true
+    x = xin + pe_ref[...]
+    for l in range(num_layers - 1):
+        xs_ref[l] = x.astype(xs_ref.dtype)
+        x, (_, _, p, _, _, _) = _layer_fwd(
+            x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, h_true, mm
+        )
+        ps_ref[l] = p.astype(ps_ref.dtype)
+    lt = num_layers - 1
+    xs_ref[lt] = x.astype(xs_ref.dtype)
+    y0, (_, _, p0, _, _, _) = _thin_fwd(
+        x, wi_ref[lt], bi_ref[lt], wo_ref[lt], bo_ref[lt], num_heads, hd, h_true, mm
+    )
+    ps_ref[lt, :, 0:1, :] = p0.astype(ps_ref.dtype)
+    y_ref[...] = jnp.stack([y0, mean], axis=1).astype(y_ref.dtype)
+
+
+def _resid_from_stored(x, p, wi, bi, num_heads, hd, mm, thin):
+    """Rebuild a layer's backward residuals from its stored input and probs:
+    one 2D qkv matmul + VPU merges + one batched PV matmul — no score
+    matmul, no exp, no denominator."""
+    tb, hp, d = x.shape
+    x2 = x.reshape(tb * hp, d).astype(mm)
+    qkv = jnp.dot(x2, wi.astype(mm), preferred_element_type=jnp.float32) + bi
+    q = qkv[:, :d].reshape(tb, hp, d).astype(mm)
+    k = qkv[:, d : 2 * d].reshape(tb, hp, d).astype(mm)
+    v = qkv[:, 2 * d :].reshape(tb, hp, d).astype(mm)
+    k_all = _merge_heads(k, num_heads, hd, mm)
+    v_all = _merge_heads(v, num_heads, hd, mm)
+    out = jax.lax.dot_general(
+        p.astype(mm), v_all,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if thin:
+        return (x2, q[:, :1, :], p, k_all, v_all, out[:, 0, :])
+    return (x2, q, p, k_all, v_all, out)
+
+
+def _enc_bwd_res_kernel(
+    g_ref, xs_ref, ps_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref, dpe_ref,
+    *, num_heads, h_true, num_layers,
+):
+    _, tb, hp, d = xs_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(xs_ref.dtype)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dpe_ref[...] = jnp.zeros_like(dpe_ref)
+
+    g0 = g_ref[...][:, 0, :].astype(jnp.float32)
+    gmean = g_ref[...][:, 1, :].astype(jnp.float32)
+
+    lt = num_layers - 1
+    thin_res = _resid_from_stored(
+        xs_ref[lt], ps_ref[lt][:, 0:1, :].astype(jnp.float32),
+        wi_ref[lt], bi_ref[lt], num_heads, hd, mm, thin=True,
+    )
+    dy, dwi_l, dbi_l, dwo_l, dbo_l = _thin_bwd(
+        thin_res, g0, wi_ref[lt], wo_ref[lt], num_heads, hd, h_true, mm
+    )
+    dwi_ref[lt] += dwi_l
+    dbi_ref[lt] += dbi_l
+    dwo_ref[lt] += dwo_l
+    dbo_ref[lt] += dbo_l
+
+    for l in range(num_layers - 2, -1, -1):
+        res = _resid_from_stored(
+            xs_ref[l], ps_ref[l][...].astype(jnp.float32),
+            wi_ref[l], bi_ref[l], num_heads, hd, mm, thin=False,
+        )
+        dy, dwi_l, dbi_l, dwo_l, dbo_l = _layer_bwd(
+            res, dy, wi_ref[l], wo_ref[l], num_heads, hd, h_true, mm
+        )
+        dwi_ref[l] += dwi_l
+        dbi_ref[l] += dbi_l
+        dwo_ref[l] += dwo_l
+        dbo_ref[l] += dbo_l
+
+    dpe_ref[...] += jnp.sum(dy, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, d), 1)
+    dmean = jnp.where(row < h_true, gmean[:, None, :] / h_true, 0.0)
+    dx_ref[...] = (dy + dmean).astype(dx_ref.dtype)
 
 
 def _layer_bwd(res, dy, wi, wo, num_heads, hd, h_true, mm):
@@ -361,6 +467,141 @@ def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     return y[:b]
 
 
+def _res_tile(tile_b, num_layers, hp, d, dtype) -> int:
+    """VMEM-budgeted tile for the residual-storing forward/backward pair
+    (calibrated on v5e: f32 L=3 OOMs at tile 64 by 0.5 MB; bf16 fits at 64).
+    Both sides use this so the backward tile always divides the forward's
+    padded batch."""
+    mm_size = 2 if dtype == jnp.bfloat16 else 4
+    rows = (384 * (32 * 64)) // max(1, num_layers * mm_size * hp * d)
+    tile = tile_b
+    while tile > 8 and tile > rows:
+        tile //= 2
+    return max(8, tile)
+
+
+def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    """Forward emitting (y, xs, ps) for the recompute-free backward."""
+    b, h_true, d = hist_emb.shape
+    num_layers = w_in.shape[0]
+    hp = _round_up(h_true, _sublane(hist_emb.dtype))
+    nhp = num_heads * hp
+    tile_b = _res_tile(tile_b, num_layers, hp, d, hist_emb.dtype)
+    xp = _pad_bh(hist_emb, tile_b, hp)
+    bp = xp.shape[0]
+    pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    tiled4 = lambda i: (0, i, 0, 0)
+    y, xs, ps = pl.pallas_call(
+        functools.partial(
+            _enc_fwd_res_kernel,
+            num_heads=num_heads, h_true=h_true, num_layers=num_layers,
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 2, d), hist_emb.dtype),
+            jax.ShapeDtypeStruct((num_layers, bp, hp, d), hist_emb.dtype),
+            jax.ShapeDtypeStruct((num_layers, bp, hp, nhp), hist_emb.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        xp,
+        pe_p,
+        w_in.astype(jnp.float32),
+        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
+        w_out.astype(jnp.float32),
+        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+    )
+    return y[:b], xs, ps
+
+
+def _vjp_bwd_res(num_heads, tile_b, res, g):
+    hist_emb, pe, w_in, b_in, w_out, b_out, xs, ps = res
+    b, h_true, d = hist_emb.shape
+    dtype = xs.dtype
+    num_layers = w_in.shape[0]
+    hp = xs.shape[2]
+    nhp = ps.shape[3]
+    # Stored residuals stream in per tile; only one layer's working set is
+    # live at a time.  Same budget formula as the forward, so the tile
+    # divides the forward's padded batch.
+    tile_b = _res_tile(tile_b, num_layers, hp, d, dtype)
+    bp = xs.shape[1]
+    if bp % tile_b:
+        # xs was padded for the forward tile; repad is unnecessary since the
+        # forward used the same tile_b argument.
+        raise ValueError("forward/backward tile mismatch")
+    gp = jnp.pad(g.astype(dtype), ((0, bp - b), (0, 0), (0, 0)))
+    const = lambda i: (0, 0)
+    const3 = lambda i: (0, 0, 0)
+    tiled4 = lambda i: (0, i, 0, 0)
+    dx, dwi, dbi, dwo, dbo, dpe = pl.pallas_call(
+        functools.partial(
+            _enc_bwd_res_kernel,
+            num_heads=num_heads, h_true=h_true, num_layers=num_layers,
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, hp, d), dtype),
+            jax.ShapeDtypeStruct((num_layers, d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((hp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        gp,
+        xs,
+        ps,
+        w_in.astype(jnp.float32),
+        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
+        w_out.astype(jnp.float32),
+        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+    )
+    return (
+        dx[:b, :h_true],
+        dpe[:h_true].astype(pe.dtype),
+        dwi.astype(w_in.dtype),
+        dbi.reshape(num_layers, -1).astype(b_in.dtype),
+        dwo.astype(w_out.dtype),
+        dbo.reshape(num_layers, -1).astype(b_out.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_history_encoder(
     hist_emb: jnp.ndarray,  # [B, H, D]  (newest item at row 0)
@@ -376,9 +617,27 @@ def fused_history_encoder(
     return _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
 
 
+# Backward strategy: True = the forward stores each layer's input + probs
+# and the backward skips the score/softmax recompute (larger tiles, fewer
+# matmuls, ~150 MB extra HBM streaming at the flagship shape); False = pure
+# recompute.  Measured on v5e and selected accordingly (BASELINE.md).
+_RESIDUAL_BWD = True
+
+
 def _vjp_fwd(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    if _RESIDUAL_BWD:
+        y, xs, ps = _enc_fwd_res_impl(
+            hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b
+        )
+        return y, (hist_emb, pe, w_in, b_in, w_out, b_out, xs, ps)
     y = _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
     return y, (hist_emb, pe, w_in, b_in, w_out, b_out)
+
+
+def _vjp_bwd_dispatch(num_heads, tile_b, res, g):
+    if _RESIDUAL_BWD:
+        return _vjp_bwd_res(num_heads, tile_b, res, g)
+    return _vjp_bwd(num_heads, tile_b, res, g)
 
 
 def _bwd_tile(tile_b, num_layers, num_heads, hp, d, dtype) -> int:
@@ -461,4 +720,4 @@ def _vjp_bwd(num_heads, tile_b, res, g):
     )
 
 
-fused_history_encoder.defvjp(_vjp_fwd, _vjp_bwd)
+fused_history_encoder.defvjp(_vjp_fwd, _vjp_bwd_dispatch)
