@@ -145,3 +145,37 @@ def test_refresh_corpus_matches_item_tower():
     direct = two_tower.compute_item_embeddings(params, cfg, ids, feats)
     assert corpus.shape == (50, 16)
     np.testing.assert_allclose(np.asarray(corpus), np.asarray(direct), rtol=1e-5)
+
+
+def test_retrieve_approx_mips_config():
+    """approx_mips=True routes retrieve() through lax.approx_max_k; on the
+    CPU test backend the approximate op reduces exactly, so indices must
+    match the exact path as *sets* per row."""
+    import dataclasses
+
+    cfg = ModelConfig(
+        user_id_hash_size=64,
+        user_id_embedding_dim=16,
+        item_id_hash_size=64,
+        item_id_embedding_dim=16,
+        user_features_size=8,
+        item_features_size=8,
+        user_value_weights=(1.0,),
+        history_len=4,
+        num_items=5,
+    )
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    corpus = jax.random.normal(jax.random.key(1), (128, 16))
+    ks = jax.random.split(jax.random.key(2), 3)
+    uid = jax.random.randint(ks[0], (8,), 0, 64)
+    ufeat = jax.random.normal(ks[1], (8, 8))
+    hist = jax.random.randint(ks[2], (8, 4), 0, 64)
+
+    exact = two_tower.retrieve(params, cfg, corpus, uid, ufeat, hist)
+    approx = two_tower.retrieve(
+        params, dataclasses.replace(cfg, approx_mips=True), corpus, uid, ufeat, hist
+    )
+    assert approx.shape == exact.shape
+    assert int(jnp.min(approx)) >= 0 and int(jnp.max(approx)) < 128
+    for r_e, r_a in zip(np.asarray(exact), np.asarray(approx)):
+        assert set(r_e.tolist()) == set(r_a.tolist())

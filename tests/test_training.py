@@ -121,3 +121,25 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves_with_path(state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
+def test_golden_loss_curve_regression():
+    """Seeded golden-curve regression (SURVEY §4 pattern 3, rebuilt for this
+    framework): fixed seeds + fixed data must land in a recorded band.  The
+    band is ±2% around values recorded on jax 0.8/CPU — wide enough for
+    cross-version numeric drift, tight enough to catch semantic regressions
+    in the loss recipe (weighting, debias hooks, clamps, normalization)."""
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    exp = ExperimentConfig(
+        model=SMALL_MODEL,
+        data=SMALL_DATA,
+        train=TrainConfig(batch_size=32, num_epochs=2, log_every=0, seed=7),
+    )
+    summary = train(exp, JsonlLogger(echo=False))
+    # recorded 2026-08-16 on the CPU test backend (jax 0.8), seed 7
+    golden = [0.7407, 0.6985]
+    assert len(summary["epoch_losses"]) == len(golden)
+    for got, want in zip(summary["epoch_losses"], golden):
+        assert abs(got - want) <= 0.02 * want, (got, want)

@@ -31,6 +31,7 @@ replicated:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -510,18 +511,24 @@ def retrieve(
     MIPS top-k.  Light-ranker path (two_tower_plus_light_ranker.py:131-209):
     MIPS top ``num_mips_items`` then pointwise rerank to ``num_items``.
     """
-    from two_tower_models_tpu.retrieval.mips import mips_topk
+    from two_tower_models_tpu.retrieval.mips import mips_topk, mips_topk_approx
+
+    if cfg.approx_mips:
+        # Serving path: PartialReduce-backed approximate top-k (config.py).
+        topk = functools.partial(mips_topk_approx, recall_target=cfg.mips_recall_target)
+    else:
+        topk = mips_topk
 
     user_emb, ranker_embs = compute_user_embedding(
         params, cfg, user_id, user_features, user_history
     )
 
     if cfg.light_ranker is None:
-        indices, _, _ = mips_topk(corpus, user_emb, cfg.num_items)
+        indices, _, _ = topk(corpus, user_emb, cfg.num_items)
         return indices
 
     lr = cfg.light_ranker
-    mips_items, mips_scores, mips_item_emb = mips_topk(
+    mips_items, mips_scores, mips_item_emb = topk(
         corpus, user_emb, lr.num_mips_items
     )  # [B,NI], [B,NI], [B,NI,DI]
 
