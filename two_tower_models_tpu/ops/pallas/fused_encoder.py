@@ -40,11 +40,59 @@ from two_tower_models_tpu.ops.pallas.fused_mha import (
     _interpret,
     _merge_heads,
     _mm_dtype,
+    _pad_bh,
     _round_up,
     _split_heads_sum,
     _sublane,
     _NEG_INF,
 )
+
+
+def _vmem_tile(tile_b, num_layers, hp, d, dtype, rows_const) -> int:
+    """VMEM-budgeted batch tile.  ``rows_const`` is the calibrated row count
+    at the flagship shape (hp=32, d=64, bf16) for the given kernel family:
+    192 for the recompute backward (all layers' residuals live in VMEM:
+    f32 L=3 used 19.3 MB at tile 32), 384 for the residual-storing pair
+    (one layer live at a time: f32 L=3 overflowed by 0.5 MB at tile 64).
+    Scales ~linearly in num_layers, dtype size, and hp*d.  The backward
+    always reuses the forward's formula, so its tile divides the forward's
+    padded batch."""
+    mm_size = 2 if dtype == jnp.bfloat16 else 4
+    rows = (rows_const * (32 * 64)) // max(1, num_layers * mm_size * hp * d)
+    tile = tile_b
+    while tile > 8 and tile > rows:
+        tile //= 2
+    return max(8, tile)
+
+
+def _weight_args(w_in, b_in, w_out, b_out, num_layers):
+    """Stacked per-layer weights as the f32 operand list every encoder
+    pallas_call takes (biases reshaped to [L, 1, .] for in-kernel broadcast)."""
+    return (
+        w_in.astype(jnp.float32),
+        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
+        w_out.astype(jnp.float32),
+        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+    )
+
+
+def _weight_specs(num_layers, d):
+    const3 = lambda i: (0, 0, 0)
+    return [
+        pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+    ]
+
+
+def _weight_grad_shapes(num_layers, d):
+    return [
+        jax.ShapeDtypeStruct((num_layers, d, 3 * d), jnp.float32),
+        jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
+        jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
+        jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+    ]
 
 
 def _layer_fwd(x, wi, bi, wo, bo, num_heads, hd, h_true, mm):
@@ -423,11 +471,6 @@ def _enc_bwd_kernel(
     dx_ref[...] = (dy + dmean).astype(dx_ref.dtype)
 
 
-def _pad_bh(x, tb, hp):
-    b, h, d = x.shape
-    return jnp.pad(x, ((0, _round_up(b, tb) - b), (0, hp - h), (0, 0)))
-
-
 def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     b, h_true, d = hist_emb.shape
     num_layers = w_in.shape[0]
@@ -436,7 +479,6 @@ def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     bp = xp.shape[0]
     pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
     const = lambda i: (0, 0)
-    const3 = lambda i: (0, 0, 0)
     y = pl.pallas_call(
         functools.partial(
             _enc_fwd_kernel, num_heads=num_heads, h_true=h_true, num_layers=num_layers
@@ -445,10 +487,7 @@ def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
         in_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
         ],
         out_specs=pl.BlockSpec(
             (tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -459,25 +498,9 @@ def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     )(
         xp,
         pe_p,
-        w_in.astype(jnp.float32),
-        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
-        w_out.astype(jnp.float32),
-        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
     return y[:b]
-
-
-def _res_tile(tile_b, num_layers, hp, d, dtype) -> int:
-    """VMEM-budgeted tile for the residual-storing forward/backward pair
-    (calibrated on v5e: f32 L=3 OOMs at tile 64 by 0.5 MB; bf16 fits at 64).
-    Both sides use this so the backward tile always divides the forward's
-    padded batch."""
-    mm_size = 2 if dtype == jnp.bfloat16 else 4
-    rows = (384 * (32 * 64)) // max(1, num_layers * mm_size * hp * d)
-    tile = tile_b
-    while tile > 8 and tile > rows:
-        tile //= 2
-    return max(8, tile)
 
 
 def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
@@ -486,12 +509,11 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
     num_layers = w_in.shape[0]
     hp = _round_up(h_true, _sublane(hist_emb.dtype))
     nhp = num_heads * hp
-    tile_b = _res_tile(tile_b, num_layers, hp, d, hist_emb.dtype)
+    tile_b = _vmem_tile(tile_b, num_layers, hp, d, hist_emb.dtype, 384)
     xp = _pad_bh(hist_emb, tile_b, hp)
     bp = xp.shape[0]
     pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
     const = lambda i: (0, 0)
-    const3 = lambda i: (0, 0, 0)
     tiled4 = lambda i: (0, i, 0, 0)
     y, xs, ps = pl.pallas_call(
         functools.partial(
@@ -502,10 +524,7 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
         in_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
         ],
         out_specs=[
             pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -522,10 +541,7 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
     )(
         xp,
         pe_p,
-        w_in.astype(jnp.float32),
-        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
-        w_out.astype(jnp.float32),
-        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
     return y[:b], xs, ps
 
@@ -540,7 +556,7 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
     # Stored residuals stream in per tile; only one layer's working set is
     # live at a time.  Same budget formula as the forward, so the tile
     # divides the forward's padded batch.
-    tile_b = _res_tile(tile_b, num_layers, hp, d, dtype)
+    tile_b = _vmem_tile(tile_b, num_layers, hp, d, dtype, 384)
     bp = xs.shape[1]
     if bp % tile_b:
         # xs was padded for the forward tile; repad is unnecessary since the
@@ -548,7 +564,6 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
         raise ValueError("forward/backward tile mismatch")
     gp = jnp.pad(g.astype(dtype), ((0, bp - b), (0, 0), (0, 0)))
     const = lambda i: (0, 0)
-    const3 = lambda i: (0, 0, 0)
     tiled4 = lambda i: (0, i, 0, 0)
     dx, dwi, dbi, dwo, dbo, dpe = pl.pallas_call(
         functools.partial(
@@ -560,25 +575,16 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
             pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
         ],
         out_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, hp, d), dtype),
-            jax.ShapeDtypeStruct((num_layers, d, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+            *_weight_grad_shapes(num_layers, d),
             jax.ShapeDtypeStruct((hp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -587,10 +593,7 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
         gp,
         xs,
         ps,
-        w_in.astype(jnp.float32),
-        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
-        w_out.astype(jnp.float32),
-        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
     return (
         dx[:b, :h_true],
@@ -640,35 +643,17 @@ def _vjp_bwd_dispatch(num_heads, tile_b, res, g):
     return _vjp_bwd(num_heads, tile_b, res, g)
 
 
-def _bwd_tile(tile_b, num_layers, num_heads, hp, d, dtype) -> int:
-    """Backward tile sized to a VMEM budget: every layer's residuals live in
-    VMEM simultaneously, so per-batch-row bytes scale with num_layers and the
-    compute dtype.  A fixed halving OOMs the 16 MB scoped limit under f32 at
-    the flagship shape (verified on v5e: 19.3 MB at tile 32, L=3)."""
-    mm_size = 2 if dtype == jnp.bfloat16 else 4
-    # Calibrated on v5e at the flagship shape (hp=32, d=64, nh=4):
-    # L=3 f32 fits at tile 16 (tile 32 used 19.3 MB > 16 MB), L=3 bf16 fits
-    # at tile 32.  Residual bytes scale ~linearly in num_layers, mm_size, and
-    # hp*d, so scale the calibrated row count by those ratios.
-    rows = (192 * (32 * 64)) // max(1, num_layers * mm_size * hp * d)
-    tile = tile_b
-    while tile > 8 and tile > rows:
-        tile //= 2
-    return max(8, tile)
-
-
 def _vjp_bwd(num_heads, tile_b, res, g):
     hist_emb, pe, w_in, b_in, w_out, b_out = res
     b, h_true, d = hist_emb.shape
     num_layers = w_in.shape[0]
     hp = _round_up(h_true, _sublane(hist_emb.dtype))
-    tile_b = _bwd_tile(tile_b, num_layers, num_heads, hp, d, hist_emb.dtype)
+    tile_b = _vmem_tile(tile_b, num_layers, hp, d, hist_emb.dtype, 192)
     xp = _pad_bh(hist_emb, tile_b, hp)
     gp = jnp.pad(g, ((0, xp.shape[0] - b), (0, 0), (0, 0)))
     bp = xp.shape[0]
     pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
     const = lambda i: (0, 0)
-    const3 = lambda i: (0, 0, 0)
     dx, dwi, dbi, dwo, dbo, dpe = pl.pallas_call(
         functools.partial(
             _enc_bwd_kernel, num_heads=num_heads, h_true=h_true, num_layers=num_layers
@@ -678,25 +663,16 @@ def _vjp_bwd(num_heads, tile_b, res, g):
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
         ],
         out_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, 3 * d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, d, d), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, 1, d), const3, memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, hp, d), hist_emb.dtype),
-            jax.ShapeDtypeStruct((num_layers, d, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, 1, 3 * d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((num_layers, 1, d), jnp.float32),
+            *_weight_grad_shapes(num_layers, d),
             jax.ShapeDtypeStruct((hp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -705,10 +681,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
         xp,
         gp.astype(hist_emb.dtype),
         pe_p,
-        w_in.astype(jnp.float32),
-        b_in.reshape(num_layers, 1, -1).astype(jnp.float32),
-        w_out.astype(jnp.float32),
-        b_out.reshape(num_layers, 1, -1).astype(jnp.float32),
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
     return (
         dx[:b, :h_true],

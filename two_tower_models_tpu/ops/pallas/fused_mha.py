@@ -6,29 +6,33 @@ pads minor dims to 128 lanes, inflating HBM traffic ~8x, and relayouts the
 134 MB activations repeatedly — 13 ms forward + 31 ms backward per layer at
 B = 16384, H = 32, D = 64 where the pure matmul cost is < 1 ms.
 
-This kernel computes the ENTIRE layer per batch tile inside VMEM:
+This kernel computes the ENTIRE layer per batch tile inside VMEM using the
+merged-head formulation (see _merge_heads):
 
-    qkv = x @ W_in + b_in                      (MXU, D-lane layouts only)
-    per head h:  S_h = (q . m_h) K^T / sqrt(hd)    (masked full-D contraction:
-                 m_h zeroes other heads' columns, so no hd-minor tensor ever
-                 exists; the extra flops are nh x on a tiny matmul)
-                 out += softmax(S_h) (v . m_h)
-    y = out @ W_out + b_out
+    qkv = x @ W_in + b_in                        (MXU, D-lane layouts only)
+    K_all, V_all = head-masked copies [TB, NH*H, D]
+    S = q @ K_all^T / sqrt(hd)                   (ALL heads in one batched
+                                                  matmul, lanes = NH*H)
+    P = per-head softmax over S's lane groups    (group sums via one
+                                                  block-diagonal-ones matmul)
+    y = (P @ V_all) @ W_out + b_out
 
-HBM traffic: read x once, write y once (+ weights).  The backward kernel
-recomputes attention per tile and accumulates weight gradients across the
-sequential grid.  Forward-for-inference and custom-VJP training paths both
-parity-tested against the dense reference in interpret mode and on TPU.
+No hd-minor tensor ever exists (TPU pads minor dims to 128 lanes), and no
+per-head matmul loop serializes the MXU.  All matmul operands ride the input
+dtype (bf16 at full MXU rate) with f32 accumulation.  HBM traffic: read x
+once, write y once (+ weights).  The backward kernel recomputes attention
+per tile and accumulates weight gradients across the sequential grid.
+Forward-for-inference and custom-VJP training paths both parity-tested
+against the dense reference in interpret mode and on TPU
+(scripts/tpu_kernel_parity.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

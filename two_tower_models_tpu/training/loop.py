@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import time
-from dataclasses import replace
 from typing import Optional
 
 import jax
@@ -26,7 +25,6 @@ from two_tower_models_tpu.config import (
     TrainConfig,
     preset,
 )
-from two_tower_models_tpu.models.two_tower import Batch
 from two_tower_models_tpu.retrieval.mips import refresh_corpus
 from two_tower_models_tpu.training.data import (
     epoch_batches,
