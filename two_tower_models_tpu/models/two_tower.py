@@ -395,8 +395,17 @@ def _reward_model_terms(
       * the proxy itself trains with BCE on the impressed (diagonal) pairs.
 
     The pairwise linear is decomposed over its concat segments — W splits into
-    [Wu; Wi; ws] — so the [B, B, 2*DI+1] feature tensor is never materialized:
-    logits = u@Wu [B,1,T] + i@Wi [1,B,T] + scores[...,None]*ws + b.
+    [Wu; Wi; ws] — AND the task axis collapses into the value weights before
+    anything pairwise forms, because the KL only consumes the value-combined
+    matrix:
+
+        vm[b, j] = sum_t uvw_t * (u_b@Wu + i_j@Wi + s_bj*ws + bias)_t
+                 = u_b@(Wu@uvw) + i_j@(Wi@uvw) + s_bj*(ws.uvw) + bias.uvw
+
+    so the only [B, B]-sized tensors are vm and the two softmaxes — the
+    [B, B, T] logits tensor (201 MB at B=4096, T=3) never exists.  Per-task
+    logits are still needed for the proxy's own BCE, but only on the
+    diagonal (impressed pairs): a [B, T] computation.
     """
     w_full = params["proxy_ranker"]["w"].astype(jnp.float32)  # [2*DI+1, T]
     b_full = params["proxy_ranker"]["b"].astype(jnp.float32)  # [T]
@@ -406,15 +415,14 @@ def _reward_model_terms(
     u32 = user_embedding.astype(jnp.float32)
     i32 = item_embeddings.astype(jnp.float32)
     s32 = scores.astype(jnp.float32)
-    u_term = u32 @ wu  # [B, T]
-    i_term = i32 @ wi  # [B, T]
-    pair_logits = (
-        u_term[:, None, :] + i_term[None, :, :] + s32[:, :, None] * ws[None, None, :]
-        + b_full
-    )  # [B, B, T]
-
     uvw = jnp.asarray(cfg.user_value_weights, jnp.float32)
-    ranker_vm = jnp.einsum("bjt,t->bj", pair_logits, uvw)  # [B, B]
+
+    ranker_vm = (
+        (u32 @ (wu @ uvw))[:, None]  # [B, 1]
+        + (i32 @ (wi @ uvw))[None, :]  # [1, B]
+        + s32 * jnp.dot(ws, uvw)
+        + jnp.dot(b_full, uvw)
+    )  # [B, B]
     ranker_top_probs = jax.lax.stop_gradient(jax.nn.softmax(ranker_vm, axis=-1))
     log_q = jax.nn.log_softmax(s32, axis=-1)  # retrieval distribution
     kl = jnp.mean(
@@ -425,7 +433,10 @@ def _reward_model_terms(
         )
     )
 
-    diag_logits = jnp.diagonal(pair_logits, axis1=0, axis2=1).T  # [B, T]
+    # proxy BCE trains on the impressed (diagonal) pairs only: [B, T]
+    diag_logits = (
+        u32 @ wu + i32 @ wi + jnp.diagonal(s32)[:, None] * ws[None, :] + b_full
+    )
     proxy_bce = _bce_with_logits(diag_logits, labels[:, : cfg.num_tasks])
 
     loss = cfg.reward_model_loss_weight * kl + proxy_bce
