@@ -103,19 +103,28 @@ def test_sharded_lookup_gradient_matches(strategy):
 
 
 @requires_8
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (1, 4)])
-def test_sharded_train_step_parity_with_single_chip(mesh_shape):
-    """One sharded step == one single-chip step (same init, same batch)."""
+@pytest.mark.parametrize(
+    "mesh_shape,fused_loss",
+    [((4, 2), False), ((8, 1), False), ((1, 4), False), ((4, 2), True)],
+)
+def test_sharded_train_step_parity_with_single_chip(mesh_shape, fused_loss):
+    """One sharded step == one single-chip step (same init, same batch).
+
+    fused_loss=True additionally checks the rectangular fused_lse kernel
+    (cross-chip negatives) against the single-chip square fused kernel."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, fused_loss=fused_loss)
     d, m = mesh_shape
     mesh = make_mesh(MeshConfig(data=d, model=m))
     mesh_cfg = MeshConfig(data=d, model=m, global_negatives=True)
     tcfg = TrainConfig(batch_size=32, learning_rate=1e-3)
 
-    state = create_train_state(jax.random.key(0), CFG, tcfg)
-    batch = make_batch(jax.random.key(1), CFG, 32)
+    state = create_train_state(jax.random.key(0), cfg, tcfg)
+    batch = make_batch(jax.random.key(1), cfg, 32)
 
     # single-chip reference step (no data/idx indirection: call loss directly)
-    ref_step = make_train_step(CFG, TrainConfig(batch_size=32, donate_state=False))
+    ref_step = make_train_step(cfg, TrainConfig(batch_size=32, donate_state=False))
     # build a fake "data" with exactly this batch to reuse the step fn
     from two_tower_models_tpu.training.data import SyntheticRecData
 
@@ -134,7 +143,7 @@ def test_sharded_train_step_parity_with_single_chip(mesh_shape):
 
     orig_params = jax.device_get(state.params)  # host copy (step donates buffers)
     sharded = shard_state(state, mesh)
-    step = make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg)
+    step = make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
     new_state, metrics = step(sharded, batch)
 
     np.testing.assert_allclose(

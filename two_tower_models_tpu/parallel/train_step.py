@@ -104,22 +104,29 @@ def sharded_loss_fn(
 
     b_local = user_emb.shape[0]
     n_data = jax.lax.axis_size(DATA_AXIS)
-    my_rank = jax.lax.axis_index(DATA_AXIS)
 
     if mesh_cfg.global_negatives and n_data > 1:
-        # Global negative pool: [n_data * B_local, DI].
-        all_items = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
-        scores = jnp.dot(
-            user_emb, all_items.T, preferred_element_type=jnp.float32
-        )  # [B_local, B_global]
-        pos_col = my_rank * b_local + jnp.arange(b_local)
+        # Global negative pool: [n_data * B_local, DI], gathered over ICI.
+        negatives = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
     else:
-        scores = jnp.dot(user_emb, item_emb.T, preferred_element_type=jnp.float32)
-        pos_col = jnp.arange(b_local)
+        negatives = item_emb
 
-    scores32 = scores.astype(jnp.float32)
-    lse = jax.nn.logsumexp(scores32, axis=-1)
-    pos = jnp.take_along_axis(scores32, pos_col[:, None], axis=1)[:, 0]
+    # The positive is this shard's own diagonal — u_b . i_b needs no gathered
+    # data regardless of the negative pool.
+    pos = jnp.einsum(
+        "bd,bd->b", user_emb, item_emb, preferred_element_type=jnp.float32
+    )
+    if cfg.fused_loss:
+        # Flash-style kernel: the [B_local, B_global] score matrix never
+        # reaches HBM (ops.pallas.fused_softmax.fused_lse).
+        from two_tower_models_tpu.ops.pallas.fused_softmax import fused_lse
+
+        lse = fused_lse(user_emb, negatives)
+    else:
+        scores = jnp.dot(
+            user_emb, negatives.T, preferred_element_type=jnp.float32
+        )  # [B_local, B_global]
+        lse = jax.nn.logsumexp(scores, axis=-1)
     ce = lse - pos  # [B_local]
 
     nuv = _net_user_value(cfg, batch.labels)
