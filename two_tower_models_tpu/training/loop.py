@@ -218,6 +218,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--log_file", default=None)
+    p.add_argument("--tensorboard_dir", default=None, help="mirror scalar events to TensorBoard")
     p.add_argument("--profile_dir", default=None, help="write an xprof trace of steps 3-7")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true", help="abort on first NaN (jax_debug_nans)")
@@ -280,8 +281,11 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     _maybe_init_multihost(args)
     exp = config_from_args(args)
-    logger = JsonlLogger(args.log_file)
-    summary = train(exp, logger)
+    logger = JsonlLogger(args.log_file, tensorboard_dir=args.tensorboard_dir)
+    try:
+        summary = train(exp, logger)
+    finally:
+        logger.close()
     for epoch, loss in zip(summary["epoch_numbers"], summary["epoch_losses"]):
         print(f"Epoch [{epoch + 1}/{exp.train.num_epochs}] - Loss: {loss:.4f}")
     print(f"recall@{exp.train.eval_top_k}: {summary['recall_at_k']:.4f}")

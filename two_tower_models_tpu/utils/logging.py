@@ -20,12 +20,25 @@ def _to_float(v):
 
 
 class JsonlLogger:
-    """One JSON object per line to a file and/or stderr summary."""
+    """One JSON object per line to a file and/or stderr summary; optional
+    TensorBoard event mirroring (``tensorboard_dir``) for scalar fields —
+    steps come from a ``step`` field when present, else a running counter."""
 
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        echo: bool = True,
+        tensorboard_dir: Optional[str] = None,
+    ):
         self._fh: Optional[IO[str]] = open(path, "a") if path else None
         self._echo = echo
         self._t0 = time.monotonic()
+        self._tb = None
+        self._tb_step = 0
+        if tensorboard_dir:
+            from tensorboardX import SummaryWriter  # baked into the image
+
+            self._tb = SummaryWriter(tensorboard_dir)
 
     def log(self, event: str, **fields):
         record = {"event": event, "t": round(time.monotonic() - self._t0, 3)}
@@ -36,6 +49,12 @@ class JsonlLogger:
             self._fh.flush()
         if self._echo:
             print(line, file=sys.stderr)
+        if self._tb is not None:
+            step = int(record.get("step", self._tb_step))
+            self._tb_step = max(self._tb_step, step) + 1
+            for k, v in record.items():
+                if k not in ("event", "t", "step") and isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{event}/{k}", v, step)
 
     def log_metrics(self, event: str, metrics: Mapping, **fields):
         # Pull all device metrics in one transfer.
@@ -46,3 +65,6 @@ class JsonlLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
