@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-fused-loss", action="store_true", help="disable the Pallas fused softmax-CE loss kernel")
     p.add_argument("--no-fused-mha", action="store_true", help="disable the Pallas fused attention-layer kernel")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K optimizer steps per jitted dispatch (lax.scan carry aliasing)")
     p.add_argument("--fused-adam", action="store_true",
                    help="use the Pallas one-pass Adam kernel (measured ~1.1ms SLOWER end-to-end: the pallas_call is a fusion/scheduling barrier XLA's native adam chain doesn't have)")
     args = p.parse_args(argv)
@@ -81,6 +83,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=1e-3,
         fused_adam=args.fused_adam,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
 
     state = create_train_state(jax.random.key(0), cfg, tcfg)
@@ -97,6 +100,8 @@ def main(argv=None):
         catalog_features=jnp.zeros((4, cfg.item_features_size)),
     )
     idx = jnp.arange(args.batch_size)
+    if tcfg.steps_per_dispatch > 1:
+        idx = jnp.tile(idx[None], (tcfg.steps_per_dispatch, 1))
     step = make_train_step(cfg, tcfg)
 
     for _ in range(args.warmup):
@@ -111,7 +116,7 @@ def main(argv=None):
     for _ in range(args.steps):
         state, metrics = step(state, data, idx)
     float(jax.device_get(metrics["loss"]))
-    step_s = (time.perf_counter() - t0) / args.steps
+    step_s = (time.perf_counter() - t0) / (args.steps * tcfg.steps_per_dispatch)
     examples_per_sec = args.batch_size / step_s
     print(
         json.dumps(

@@ -130,6 +130,22 @@ def main():
     ok &= check("ce vjp du f32", gu_f, gu_r, tol_f32)
     ok &= check("ce vjp di f32", gi_f, gi_r, tol_f32)
 
+    # ---- scatter-add kernel -------------------------------------------------
+    from two_tower_models_tpu.ops.pallas.scatter_add import (
+        rows_scatter_add,
+        rows_scatter_add_reference,
+    )
+
+    sv, sn = 1048576, 131072
+    s_ids = jax.random.randint(jax.random.key(7), (sn,), 0, sv)
+    s_rows = jax.random.normal(jax.random.key(8), (sn, 64), jnp.float32)
+    ok &= check(
+        "scatter 1M f32",
+        rows_scatter_add(s_ids, s_rows, sv, tile_v=8192),
+        rows_scatter_add_reference(s_ids, s_rows, sv),
+        1e-5,
+    )
+
     # ---- fused adam -------------------------------------------------------
     import optax
 

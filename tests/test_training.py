@@ -143,3 +143,51 @@ def test_golden_loss_curve_regression():
     assert len(summary["epoch_losses"]) == len(golden)
     for got, want in zip(summary["epoch_losses"], golden):
         assert abs(got - want) <= 0.02 * want, (got, want)
+
+
+def test_resume_skips_completed_epochs(tmp_path):
+    """Restore + continue: the second run must skip the finished epochs and
+    train only the remainder (loss keeps descending from the restored state)."""
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    def run(num_epochs):
+        exp = ExperimentConfig(
+            model=SMALL_MODEL,
+            data=SMALL_DATA,
+            train=TrainConfig(
+                batch_size=32, num_epochs=num_epochs, log_every=0,
+                checkpoint_dir=str(tmp_path / "ck"),
+            ),
+        )
+        return train(exp, JsonlLogger(echo=False))
+
+    first = run(2)
+    second = run(3)
+    # only epoch index 2 ran in the second invocation
+    assert second["epoch_numbers"] == [2]
+    assert second["epoch_losses"][0] < first["epoch_losses"][-1]
+
+
+def test_steps_per_dispatch_parity():
+    """K steps per dispatch must produce the same training trajectory as
+    K single-step dispatches (modulo scan-vs-loop rounding)."""
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    def run(k):
+        exp = ExperimentConfig(
+            model=SMALL_MODEL,
+            data=SMALL_DATA,
+            train=TrainConfig(
+                batch_size=32, num_epochs=2, log_every=0, seed=3,
+                steps_per_dispatch=k,
+            ),
+        )
+        return train(exp, JsonlLogger(echo=False))
+
+    a = run(1)
+    b = run(3)  # 8 batches/epoch: two 3-dispatches + a 2-batch remainder
+    for la, lb in zip(a["epoch_losses"], b["epoch_losses"]):
+        assert abs(la - lb) < 1e-5 * max(1.0, abs(la)), (la, lb)
+    assert a["recall_at_k"] == b["recall_at_k"]

@@ -231,6 +231,11 @@ class TrainConfig:
     checkpoint_every: int = 0  # steps; 0 = disabled
     profile_dir: Optional[str] = None
     donate_state: bool = True
+    # K optimizer steps per jitted dispatch (lax.scan): the scan carry
+    # aliases state buffers perfectly where per-dispatch donation copies
+    # them (~40% of the step at 134M params), and amortizes host dispatch.
+    # 1 = one step per call (checkpoint/eval gates stay step-accurate).
+    steps_per_dispatch: int = 1
     # Debug mode: jax_debug_nans aborts the step that first produces a NaN
     # with a de-optimized re-run pinpointing the op (SURVEY §5 sanitizers —
     # the functional model has no data races to detect, so NaN/Inf tracing

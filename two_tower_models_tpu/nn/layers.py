@@ -62,12 +62,60 @@ def embedding_init(key, vocab: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.normal(key, (vocab, dim), dtype)
 
 
+# XLA's scatter-add lowering costs O(table size), not O(updates) — fine at
+# 65k rows (~1.7ms/step at bench scale) but 27ms at 1M for the SAME update
+# count.  In this window the custom Pallas scatter (ops.pallas.scatter_add,
+# sorted-updates + per-tile ranges) takes over: 4.3x faster at 1M rows
+# (BASELINE.md).  Below the window XLA wins outright; above it the kernel's
+# un-aliasable dense output tensors (one per lookup before autodiff sums
+# cotangents) tip a 16GB chip's HBM at Adam-state scale — and tables that
+# size belong on the row-sharded multi-chip path anyway (parallel/).
+_SCATTER_KERNEL_MIN_ROWS = 1 << 18
+_SCATTER_KERNEL_MAX_ROWS = 1 << 22
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lookup_impl(table, ids, vocab: int, dtype_name: str):
+    return jnp.take(table, ids, axis=0)
+
+
+def _lookup_fwd(table, ids, vocab, dtype_name):
+    # Residuals hold ONLY ids: keeping `table` alive into the backward would
+    # block XLA from donating the param buffer through the train step
+    # (measured: ~12ms/step of param+moment copies at 2x 1M-row tables).
+    return jnp.take(table, ids, axis=0), ids
+
+
+def _lookup_bwd(vocab, dtype_name, ids, g):
+    dim = g.shape[-1]
+    if (
+        _SCATTER_KERNEL_MIN_ROWS <= vocab < _SCATTER_KERNEL_MAX_ROWS
+        and jax.default_backend() == "tpu"
+    ):
+        from two_tower_models_tpu.ops.pallas.scatter_add import rows_scatter_add
+
+        dtable = rows_scatter_add(
+            ids.reshape(-1), g.reshape(-1, dim).astype(jnp.float32), vocab
+        )
+    else:
+        dtable = (
+            jnp.zeros((vocab, dim), jnp.float32)
+            .at[ids.reshape(-1)]
+            .add(g.reshape(-1, dim).astype(jnp.float32))
+        )
+    return dtable.astype(jnp.dtype(dtype_name)), None
+
+
+_lookup_impl.defvjp(_lookup_fwd, _lookup_bwd)
+
+
 def embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Replicated-table lookup.  For row-sharded tables use
     two_tower_models_tpu.parallel.embedding.sharded_embedding_lookup.
 
-    The adjoint (scatter-add of ~131k rows at bench scale) costs ~1.7ms/step
-    in XLA's lowering; measured alternatives (segment_sum, sorted scatter,
-    bf16 accumulation) lower to the same or worse HLO on this toolchain, so
-    the plain ``take`` autodiff path stands."""
-    return jnp.take(table, ids, axis=0)
+    Custom VJP: the adjoint scatter-add routes through the update-count-
+    scaling Pallas kernel for large tables (see _SCATTER_KERNEL_MIN_ROWS)."""
+    return _lookup_impl(table, ids, table.shape[0], str(table.dtype))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from dataclasses import replace
 from typing import Optional
 
 import jax
@@ -83,6 +84,16 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
 
     else:
         train_step = make_train_step(model_cfg, train_cfg)
+    # Multi-step dispatch (steps_per_dispatch > 1): group K batch-index rows
+    # into one jitted call.  Single-step fallback handles epoch remainders.
+    k_dispatch = max(1, train_cfg.steps_per_dispatch)
+    if k_dispatch > 1 and mesh_cfg.data * mesh_cfg.model > 1:
+        raise ValueError("steps_per_dispatch > 1 is single-chip-path only")
+    single_step = (
+        make_train_step(model_cfg, replace(train_cfg, steps_per_dispatch=1))
+        if k_dispatch > 1
+        else train_step
+    )
     recall_fn = make_eval_recall_fn(model_cfg, train_cfg.eval_top_k)
 
     ckpt_mgr = None
@@ -135,22 +146,38 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         loss_sum = jnp.zeros(())
         t0 = time.monotonic()
         n_run = 0
+        idx_buf = []
         for i, idx in enumerate(
             epoch_batches(key, data.num_samples, train_cfg.batch_size)
         ):
             if i < skip:
                 continue
             n_run += 1
+            examples += train_cfg.batch_size
             # Profile a small post-warmup window of epoch 0 (steps 3..7).
             if train_cfg.profile_dir and epoch == 0 and i == 3:
                 jax.profiler.start_trace(train_cfg.profile_dir)
-            state, metrics = train_step(state, data, idx)
+            if k_dispatch > 1:
+                # buffer K batch-index rows into one jitted dispatch
+                idx_buf.append(idx)
+                if len(idx_buf) < k_dispatch and i + 1 < n_batches:
+                    continue
+                if len(idx_buf) == k_dispatch:
+                    state, metrics = train_step(state, data, jnp.stack(idx_buf))
+                    # multi-step metrics are K-step means; sum-equivalent:
+                    loss_sum = loss_sum + metrics["loss"] * k_dispatch
+                else:  # epoch remainder: single steps
+                    for one in idx_buf:
+                        state, metrics = single_step(state, data, one)
+                        loss_sum = loss_sum + metrics["loss"]
+                idx_buf = []
+            else:
+                state, metrics = train_step(state, data, idx)
+                loss_sum = loss_sum + metrics["loss"]  # stays on device
             if train_cfg.profile_dir and epoch == 0 and i == 7:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 logger.log("profile_written", dir=train_cfg.profile_dir)
-            loss_sum = loss_sum + metrics["loss"]  # stays on device
-            examples += train_cfg.batch_size
             if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
                 logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
             # Host-side step counter: int(state.step) would force a
@@ -223,6 +250,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true", help="abort on first NaN (jax_debug_nans)")
     p.add_argument("--eval_every", type=int, default=0, help="mid-training recall@k every N steps")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K optimizer steps per jitted dispatch (lax.scan)")
     # mesh: data*model must divide the available device count
     p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
@@ -263,6 +292,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
         eval_every=args.eval_every,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     from two_tower_models_tpu.config import MeshConfig
 

@@ -26,7 +26,15 @@ from two_tower_models_tpu.training.state import TrainState, make_optimizer
 def make_train_step(
     model_cfg: ModelConfig, train_cfg: TrainConfig
 ) -> Callable[[TrainState, SyntheticRecData, jnp.ndarray], Tuple[TrainState, dict]]:
-    """Build the jitted step: (state, data, batch_idx) -> (state, metrics)."""
+    """Build the jitted step: (state, data, batch_idx) -> (state, metrics).
+
+    With ``train_cfg.steps_per_dispatch > 1`` the returned function takes
+    ``batch_idx`` of shape [K, B] and runs K optimizer steps in one dispatch
+    via ``lax.scan`` — the scan carry aliases every state buffer perfectly,
+    where per-dispatch donation inserts defensive copies that cost ~40% of
+    the step at 134M-param tables (measured, BASELINE.md).  Metrics come
+    back averaged over the K steps.
+    """
     tx = make_optimizer(train_cfg)
 
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
@@ -59,7 +67,18 @@ def make_train_step(
         return new_state, metrics
 
     donate = (0,) if train_cfg.donate_state else ()
-    return jax.jit(step, donate_argnums=donate)
+    if train_cfg.steps_per_dispatch <= 1:
+        return jax.jit(step, donate_argnums=donate)
+
+    def multi_step(state: TrainState, data: SyntheticRecData, idx2d: jnp.ndarray):
+        def body(s, idx):
+            s2, metrics = step(s, data, idx)
+            return s2, metrics
+
+        state, stacked = jax.lax.scan(body, state, idx2d)
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), stacked)
+
+    return jax.jit(multi_step, donate_argnums=donate)
 
 
 def make_eval_recall_fn(model_cfg: ModelConfig, top_k: int = 100):
