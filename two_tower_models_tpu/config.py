@@ -48,8 +48,10 @@ class HistoryEncoderConfig:
     num_layers: int = 3
     use_positional_encoding: bool = True
     # Blockwise Pallas attention (ops.pallas.history_attention): O(H) memory,
-    # the seam for ring/context parallelism.  Off by default — for H <= 128
-    # XLA's fused dense attention is already optimal.
+    # the seam for ring/context parallelism.  A MEMORY kernel, not a speed
+    # kernel: measured slower than XLA's dense attention up through H=512
+    # (hd=16 minor-dim shapes are MXU-hostile either way); reach for it only
+    # when the [H, H] score matrix can't fit.  Off by default.
     blockwise_kernel: bool = False
     # Fully-fused Pallas layer (ops.pallas.fused_mha): whole QKV+MHA+out-proj
     # per batch tile in VMEM.  ~3x over XLA's head-split lowering at
