@@ -47,6 +47,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--repeats", type=int, default=3, help="timing repeats; min is reported")
     p.add_argument("--batch-size", type=int, default=BATCH_SIZE)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--no-fused-loss", action="store_true", help="disable the Pallas fused softmax-CE loss kernel")
@@ -112,11 +113,16 @@ def main(argv=None):
     # bounds real device time; a device_get closes the measurement.  (Per-step
     # block_until_ready is NOT trustworthy on the axon tunnel — it returns
     # before device completion; measured and documented in BASELINE.md.)
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, data, idx)
-    float(jax.device_get(metrics["loss"]))
-    step_s = (time.perf_counter() - t0) / (args.steps * tcfg.steps_per_dispatch)
+    # Tunnel noise only ever INFLATES chained timings (the chain lower-bounds
+    # device time), so the min over repeats is the faithful estimator.
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, data, idx)
+        float(jax.device_get(metrics["loss"]))
+        times.append(time.perf_counter() - t0)
+    step_s = min(times) / (args.steps * tcfg.steps_per_dispatch)
     examples_per_sec = args.batch_size / step_s
     print(
         json.dumps(
