@@ -83,6 +83,18 @@ def main():
         history_encoder_init,
     )
 
+    # shape sweep: Mosaic bugs are often shape-dependent
+    for b2, h2, d2, nh2, nl2 in [(192, 24, 128, 8, 2), (64, 64, 64, 2, 1)]:
+        c2 = HistoryEncoderConfig(num_heads=nh2, num_layers=nl2)
+        p2 = history_encoder_init(jax.random.key(11), d2, c2)
+        x2 = jax.random.normal(jax.random.key(12), (b2, h2, d2), jnp.float32)
+        ok &= check(
+            f"encoder fwd f32 B{b2} H{h2} D{d2} nh{nh2} L{nl2}",
+            history_encoder_apply(p2, x2, dataclasses.replace(c2, fused_encoder=True)),
+            history_encoder_apply(p2, x2, c2),
+            tol_f32,
+        )
+
     cfg = HistoryEncoderConfig(num_heads=4, num_layers=3)
     fcfg = dataclasses.replace(cfg, fused_encoder=True)
     params = history_encoder_init(jax.random.key(1), D, cfg)
