@@ -44,7 +44,15 @@ def main():
         def chained(c, q, n):
             def body(i, q):
                 idx, s, e = fn(c, q)
-                return q + (s[:, :1] * 0).astype(q.dtype)
+                # ALL outputs must stay live: consuming only s[:, :1] lets
+                # XLA legally narrow top-k(100) to top-1 (slice-of-sort
+                # rewrites), which under-reported the k=100 latency ~17x.
+                live = (
+                    jnp.sum(s, axis=1, keepdims=True)
+                    + jnp.sum(e, axis=1)[:, :1]
+                    + jnp.sum(idx, axis=1, keepdims=True).astype(jnp.float32)
+                )
+                return q + (live * 1e-12).astype(q.dtype)
             return jnp.sum(jax.lax.fori_loop(0, n, body, q))
 
         g = jax.jit(chained, static_argnums=2)

@@ -1,0 +1,83 @@
+"""End-to-end serving QPS: user tower + MIPS per query batch.
+
+bench_mips.py measures the MIPS scan in isolation; this measures the full
+query path the RetrievalEngine serves (embedding lookup + feature MLP +
+history encoder + tower head + top-k over a 1M-item corpus), exact vs
+approximate, on the live backend.
+
+Run: python scripts/bench_serving.py [--corpus 1048576] [--batch 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=int, default=1 << 20)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from two_tower_models_tpu.config import Debias, HistoryEncoderConfig, ModelConfig
+    from two_tower_models_tpu.models import two_tower
+    from two_tower_models_tpu.serving import RetrievalEngine
+
+    base = ModelConfig(
+        user_id_hash_size=65536,
+        user_id_embedding_dim=64,
+        item_id_hash_size=args.corpus,
+        item_id_embedding_dim=64,
+        user_features_size=16,
+        item_features_size=16,
+        user_value_weights=(1.0, 0.5, 0.25),
+        history_len=32,
+        history_encoder=HistoryEncoderConfig(fused_encoder=True),
+        debias=Debias.BOTH,
+        compute_dtype="bfloat16",
+        num_items=100,
+    )
+    params = two_tower.init_params(jax.random.key(0), base)
+    catalog_ids = jnp.arange(args.corpus)
+    catalog_features = jax.random.normal(jax.random.key(1), (args.corpus, 16))
+
+    ks = jax.random.split(jax.random.key(2), 3)
+    uid = jax.random.randint(ks[0], (args.batch,), 0, base.user_id_hash_size)
+    feat = jax.random.normal(ks[1], (args.batch, 16))
+    hist = jax.random.randint(ks[2], (args.batch, 32), 0, args.corpus)
+
+    for name, cfg in (
+        ("exact", base),
+        ("approx_mips", dataclasses.replace(base, approx_mips=True)),
+    ):
+        eng = RetrievalEngine.from_params(params, cfg, catalog_ids, catalog_features)
+        eng.warmup(args.batch)
+        out = eng.query(uid, feat, hist)
+        jax.device_get(out[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = eng.query(uid, feat, hist)
+        jax.device_get(out[0, 0])
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(json.dumps({
+            "path": name,
+            "corpus": args.corpus,
+            "batch": args.batch,
+            "latency_ms_per_batch": round(ms, 3),
+            "qps": round(args.batch / ms * 1e3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

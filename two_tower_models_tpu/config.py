@@ -108,8 +108,9 @@ class ModelConfig:
     # --- retrieval ---
     num_items: int = 10  # items returned per query at inference
     # Serving-path MIPS: lax.approx_max_k rides the TPU's PartialReduce unit
-    # (6.6x lower latency at 1M x 64, measured recall@100 = 0.974 at the
-    # default target — BASELINE.md).  Exact top-k when False (eval/parity).
+    # (~47x lower latency than exact lax.top_k at 1M x 64 / k=100, measured
+    # recall@100 = 0.974 at the default target — BASELINE.md).  Exact top-k
+    # when False (eval/parity; ~330 ms per 1024-query batch at 1M).
     approx_mips: bool = False
     mips_recall_target: float = 0.95
 

@@ -1,0 +1,97 @@
+"""Serving-side retrieval engine.
+
+The reference's inference path is ``forward`` on the training module against
+a random frozen corpus (two_tower_base_retrieval.py:221-249 + SURVEY §2.4).
+Serving here is a separate, deliberately small surface:
+
+  * the corpus is built from the TRAINED item tower over the real catalog
+    (``retrieval.mips.refresh_corpus``, chunked so 10M-item catalogs embed
+    without a [C, ...] activation blowup);
+  * queries run through one jitted function (user tower + MIPS [+ light
+    ranker rerank]) with the serving-grade approximate top-k
+    (``ModelConfig.approx_mips``) — ~47x lower latency at recall@100≈0.97;
+  * params/corpus are captured as constants-by-reference: no per-request
+    re-tracing, no host round trips besides the query batch itself.
+
+Measured end-to-end (scripts/bench_serving.py, v5e): see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from two_tower_models_tpu.config import ModelConfig
+from two_tower_models_tpu.models.two_tower import retrieve
+from two_tower_models_tpu.retrieval.mips import refresh_corpus
+
+
+class RetrievalEngine:
+    """Frozen (params, corpus) + one compiled query function."""
+
+    def __init__(self, params, cfg: ModelConfig, corpus: jnp.ndarray):
+        self._params = params
+        self._cfg = cfg
+        self._corpus = corpus
+
+        def _query(params, corpus, user_id, user_features, user_history):
+            return retrieve(params, cfg, corpus, user_id, user_features, user_history)
+
+        self._query = jax.jit(_query)
+
+    @classmethod
+    def from_params(
+        cls,
+        params,
+        cfg: ModelConfig,
+        catalog_ids: jnp.ndarray,
+        catalog_features: jnp.ndarray,
+        embed_batch_size: int = 4096,
+    ) -> "RetrievalEngine":
+        """Build the corpus from the trained item tower, then serve it."""
+        corpus = refresh_corpus(
+            params, cfg, catalog_ids, catalog_features, batch_size=embed_batch_size
+        )
+        return cls(params, cfg, corpus)
+
+    @property
+    def corpus(self) -> jnp.ndarray:
+        return self._corpus
+
+    def query(
+        self,
+        user_id: jnp.ndarray,  # [B]
+        user_features: jnp.ndarray,  # [B, IU]
+        user_history: jnp.ndarray,  # [B, H]
+    ) -> jnp.ndarray:
+        """Top ``cfg.num_items`` corpus indices per user, [B, num_items]."""
+        return self._query(
+            self._params, self._corpus, user_id, user_features, user_history
+        )
+
+    def warmup(self, batch_size: int) -> None:
+        """Compile the query function for a batch size ahead of traffic."""
+        cfg = self._cfg
+        self.query(
+            jnp.zeros((batch_size,), jnp.int32),
+            jnp.zeros((batch_size, cfg.user_features_size), jnp.float32),
+            jnp.zeros((batch_size, cfg.history_len), jnp.int32),
+        )
+
+    def refresh(
+        self,
+        params,
+        catalog_ids: jnp.ndarray,
+        catalog_features: jnp.ndarray,
+        embed_batch_size: int = 4096,
+    ) -> None:
+        """Swap in newly trained params + rebuilt corpus (e.g. after an
+        online-training publish).  The jitted query re-runs without
+        recompilation — shapes are unchanged."""
+        self._params = params
+        self._corpus = refresh_corpus(
+            params, self._cfg, catalog_ids, catalog_features,
+            batch_size=embed_batch_size,
+        )
