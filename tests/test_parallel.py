@@ -196,3 +196,40 @@ def test_sharded_gradients_match_single_chip(mesh_shape):
             np.asarray(g), np.asarray(flat_r[key]), rtol=5e-4, atol=1e-6,
             err_msg=f"grad mismatch at {key}",
         )
+
+
+@requires_8
+def test_gspmd_step_parity_with_single_chip():
+    """The GSPMD path (jit + NamedSharding over the single-chip step) must
+    match the single-chip step exactly — same traced program, partitioned."""
+    from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    tcfg = TrainConfig(batch_size=32, learning_rate=1e-3)
+    state = create_train_state(jax.random.key(0), CFG, tcfg)
+    batch = make_batch(jax.random.key(1), CFG, 32)
+
+    ref_step = make_train_step(CFG, TrainConfig(batch_size=32, donate_state=False))
+    from two_tower_models_tpu.training.data import SyntheticRecData
+
+    data = SyntheticRecData(
+        user_ids=batch.user_id, user_features=batch.user_features,
+        user_history=batch.user_history, item_ids=batch.item_id,
+        item_features=batch.item_features, positions=batch.position,
+        labels=batch.labels, catalog_ids=jnp.arange(4),
+        catalog_features=jnp.zeros((4, CFG.item_features_size)),
+    )
+    ref_state, ref_metrics = ref_step(state, data, jnp.arange(32))
+
+    sharded = shard_state(state, mesh)
+    step = make_gspmd_train_step(CFG, tcfg, mesh)
+    new_state, metrics = step(sharded, batch)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    # Post-Adam params are not compared elementwise (first-step g/|g|
+    # normalization amplifies float noise on near-zero grads — see
+    # test_sharded_gradients_match_single_chip).  The loss equality above is
+    # the semantic check: it's the same traced program, partitioned.
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))

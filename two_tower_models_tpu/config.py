@@ -197,10 +197,12 @@ class MeshConfig:
 
     data: int = 1
     model: int = 1
-    # When True the train step runs under shard_map with explicit collectives
-    # (all_to_all embedding exchange, all_gather negatives, psum grads).
-    # When False, GSPMD (jit + NamedSharding) inserts collectives.
-    explicit_collectives: bool = False
+    # When True (default) the train step runs under shard_map with explicit
+    # collectives (all_to_all embedding exchange, all_gather negatives, psum
+    # grads) — auditable, Pallas-kernel-compatible.  When False, GSPMD
+    # (jit + NamedSharding over the single-chip step) inserts collectives;
+    # that path requires the jnp ops (no Pallas under the partitioner).
+    explicit_collectives: bool = True
     # Share in-batch negatives across the data axis (global [B_local, B_global]
     # logit matrix instead of per-shard [B_local, B_local]).
     global_negatives: bool = True

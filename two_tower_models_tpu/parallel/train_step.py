@@ -156,6 +156,76 @@ def sharded_loss_fn(
     return loss, metrics
 
 
+def make_gspmd_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh: Mesh,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
+    """GSPMD alternative to the explicit shard_map step: the SINGLE-CHIP
+    step body jitted with NamedSharding-annotated inputs — XLA's SPMD
+    partitioner inserts the collectives (all-reduce for replicated-param
+    grads, the batch-axis gathers for the [B, B] loss).  Semantics are the
+    single-chip ones by construction (same traced program), so global
+    negatives are implicit.
+
+    The Pallas kernels can't be auto-partitioned by GSPMD, so this path
+    requires the jnp loss/encoder (fused_loss off, no fused encoder) —
+    the partitioner handles the dense ops fine.  Parity with the explicit
+    path is tested on a virtual mesh (tests/test_parallel.py).
+    """
+    if model_cfg.fused_loss or (
+        model_cfg.history_encoder is not None
+        and (
+            model_cfg.history_encoder.fused_kernel
+            or model_cfg.history_encoder.fused_encoder
+        )
+    ):
+        raise ValueError(
+            "the GSPMD path requires the jnp ops (Pallas kernels cannot be "
+            "auto-partitioned); disable fused_loss / fused_kernel / "
+            "fused_encoder or use explicit_collectives=True"
+        )
+    from two_tower_models_tpu.models.two_tower import train_loss as _train_loss
+    from two_tower_models_tpu.parallel.sharding import batch_pspec, state_pspecs
+
+    tx = make_optimizer(train_cfg)
+
+    def step(state: TrainState, batch: Batch):
+        (loss, metrics), grads = jax.value_and_grad(_train_loss, has_aux=True)(
+            state.params, model_cfg, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        return (
+            TrainState(
+                step=state.step + 1, params=params,
+                opt_state=opt_state, rng=state.rng,
+            ),
+            metrics,
+        )
+
+    compiled = {}
+
+    def run(state: TrainState, batch: Batch):
+        # shardings derive from the state's pytree, known at first call
+        if "fn" not in compiled:
+            to_sharding = lambda s: NamedSharding(mesh, s)
+            state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state))
+            batch_sh = Batch(
+                *([to_sharding(batch_pspec())] * len(Batch._fields))
+            )
+            compiled["fn"] = jax.jit(
+                step,
+                in_shardings=(state_sh, batch_sh),
+                out_shardings=(state_sh, None),
+                donate_argnums=(0,),
+            )
+        return compiled["fn"](state, batch)
+
+    return run
+
+
 def make_sharded_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,

@@ -76,7 +76,12 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
 
         mesh = make_mesh(mesh_cfg)
         state = shard_state(state, mesh)
-        sharded_step = make_sharded_train_step(model_cfg, train_cfg, mesh, mesh_cfg)
+        if mesh_cfg.explicit_collectives:
+            sharded_step = make_sharded_train_step(model_cfg, train_cfg, mesh, mesh_cfg)
+        else:
+            from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
+
+            sharded_step = make_gspmd_train_step(model_cfg, train_cfg, mesh)
         gather = jax.jit(gather_batch)
 
         def train_step(s, d, idx):
@@ -255,6 +260,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # mesh: data*model must divide the available device count
     p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
+    p.add_argument("--gspmd", action="store_true",
+                   help="multi-chip via GSPMD (jit + NamedSharding) instead of explicit shard_map collectives")
     p.add_argument(
         "--multihost", action="store_true",
         help="call jax.distributed.initialize before building the mesh (TPU pods)",
@@ -296,7 +303,10 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     )
     from two_tower_models_tpu.config import MeshConfig
 
-    mesh = MeshConfig(data=args.mesh_data, model=args.mesh_model)
+    mesh = MeshConfig(
+        data=args.mesh_data, model=args.mesh_model,
+        explicit_collectives=not args.gspmd,
+    )
     return ExperimentConfig(model=model, data=data, train=train_c, mesh=mesh)
 
 
