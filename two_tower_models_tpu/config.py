@@ -126,6 +126,12 @@ class ModelConfig:
     user_debias_min: float = 1e-1
     combined_debias_min: float = 1e-3
     nuv_min: float = 1e-6
+    # The reference's debias aux MSEs are SUM-reduced over the batch
+    # (two_tower_with_position_debiased_weights.py:101-103), so at production
+    # batch sizes they swamp the mean-reduced retrieval CE (measured: recall
+    # collapses to 0 at B=4096 — BASELINE.md).  1.0 keeps reference
+    # semantics; scale by ~1/B for large-batch training.
+    debias_aux_weight: float = 1.0
 
     # --- light ranker / KD / reward model ---
     light_ranker: Optional[LightRankerConfig] = None

@@ -316,6 +316,7 @@ def softmax_retrieval_loss(
         ce = _in_batch_ce(scores_local)
     nuv = _net_user_value(cfg, labels)  # [B]
     nuv, aux_loss = debias_net_user_value(params, cfg, nuv, position, user_embedding)
+    aux_loss = aux_loss * cfg.debias_aux_weight
     nuv = jnp.clip(nuv, min=cfg.nuv_min)
     if max_normalize:
         nuv = nuv / jnp.max(nuv)

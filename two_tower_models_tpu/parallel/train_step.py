@@ -131,6 +131,7 @@ def sharded_loss_fn(
 
     nuv = _net_user_value(cfg, batch.labels)
     nuv, aux_loss = debias_net_user_value(params, cfg, nuv, batch.position, user_emb)
+    aux_loss = aux_loss * cfg.debias_aux_weight
     nuv = jnp.clip(nuv, min=cfg.nuv_min)
     # Max-normalize over the GLOBAL batch (single-chip parity).  all_gather
     # + max instead of pmax: with a debias head active, nuv is
