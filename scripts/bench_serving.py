@@ -57,11 +57,13 @@ def main():
     feat = jax.random.normal(ks[1], (args.batch, 16))
     hist = jax.random.randint(ks[2], (args.batch, 32), 0, args.corpus)
 
+    # corpus is config-independent: embed the catalog once, share it
+    shared = RetrievalEngine.from_params(params, base, catalog_ids, catalog_features)
     for name, cfg in (
         ("exact", base),
         ("approx_mips", dataclasses.replace(base, approx_mips=True)),
     ):
-        eng = RetrievalEngine.from_params(params, cfg, catalog_ids, catalog_features)
+        eng = RetrievalEngine(params, cfg, shared.corpus)
         eng.warmup(args.batch)
         out = eng.query(uid, feat, hist)
         jax.device_get(out[0, 0])

@@ -41,22 +41,26 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
         for cxx in ("c++", "g++", "clang++"):
+            tmp_name = None
             try:
                 with tempfile.NamedTemporaryFile(
                     suffix=".so", dir=os.path.dirname(_LIB_PATH), delete=False
                 ) as tmp:
-                    pass
+                    tmp_name = tmp.name
                 subprocess.run(
-                    [cxx, "-O3", "-shared", "-fPIC", "-o", tmp.name, _SRC],
+                    [cxx, "-O3", "-shared", "-fPIC", "-o", tmp_name, _SRC],
                     check=True, capture_output=True,
                 )
-                os.replace(tmp.name, _LIB_PATH)  # atomic under concurrency
+                os.replace(tmp_name, _LIB_PATH)  # atomic under concurrency
                 break
             except (subprocess.CalledProcessError, FileNotFoundError, OSError):
-                try:
-                    os.unlink(tmp.name)
-                except OSError:
-                    pass
+                # includes read-only package dirs: tempfile creation itself
+                # may fail before tmp_name is set — fall back to numpy
+                if tmp_name is not None:
+                    try:
+                        os.unlink(tmp_name)
+                    except OSError:
+                        pass
                 continue
         else:
             _build_failed = True

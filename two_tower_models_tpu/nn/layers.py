@@ -14,6 +14,8 @@ curves statistically comparable with the reference without copying any code.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 from typing import Sequence
 
 import jax
@@ -74,7 +76,21 @@ _SCATTER_KERNEL_MIN_ROWS = 1 << 18
 _SCATTER_KERNEL_MAX_ROWS = 1 << 22
 
 
-import functools
+# Trace-time switch: the GSPMD train step traces the single-chip program
+# under XLA's SPMD partitioner, which cannot partition pallas_calls — it
+# disables the scatter kernel while tracing (parallel.train_step).
+_scatter_kernel_enabled = True
+
+
+@contextlib.contextmanager
+def disable_scatter_kernel():
+    global _scatter_kernel_enabled
+    prev = _scatter_kernel_enabled
+    _scatter_kernel_enabled = False
+    try:
+        yield
+    finally:
+        _scatter_kernel_enabled = prev
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -92,7 +108,8 @@ def _lookup_fwd(table, ids, vocab, dtype_name):
 def _lookup_bwd(vocab, dtype_name, ids, g):
     dim = g.shape[-1]
     if (
-        _SCATTER_KERNEL_MIN_ROWS <= vocab < _SCATTER_KERNEL_MAX_ROWS
+        _scatter_kernel_enabled
+        and _SCATTER_KERNEL_MIN_ROWS <= vocab < _SCATTER_KERNEL_MAX_ROWS
         and jax.default_backend() == "tpu"
     ):
         from two_tower_models_tpu.ops.pallas.scatter_add import rows_scatter_add

@@ -179,12 +179,13 @@ def make_gspmd_train_step(
         and (
             model_cfg.history_encoder.fused_kernel
             or model_cfg.history_encoder.fused_encoder
+            or model_cfg.history_encoder.blockwise_kernel
         )
     ):
         raise ValueError(
             "the GSPMD path requires the jnp ops (Pallas kernels cannot be "
             "auto-partitioned); disable fused_loss / fused_kernel / "
-            "fused_encoder or use explicit_collectives=True"
+            "fused_encoder / blockwise_kernel or use explicit_collectives=True"
         )
     from two_tower_models_tpu.models.two_tower import train_loss as _train_loss
     from two_tower_models_tpu.parallel.sharding import batch_pspec, state_pspecs
@@ -211,6 +212,8 @@ def make_gspmd_train_step(
     def run(state: TrainState, batch: Batch):
         # shardings derive from the state's pytree, known at first call
         if "fn" not in compiled:
+            from two_tower_models_tpu.nn.layers import disable_scatter_kernel
+
             to_sharding = lambda s: NamedSharding(mesh, s)
             state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state))
             batch_sh = Batch(
@@ -222,6 +225,12 @@ def make_gspmd_train_step(
                 out_shardings=(state_sh, None),
                 donate_argnums=(0,),
             )
+            # First call traces the program: the embedding-lookup VJP must
+            # pick its XLA scatter (not the pallas_call) under the SPMD
+            # partitioner — the trace-time switch covers large tables that
+            # the static config guard above can't see.
+            with disable_scatter_kernel():
+                return compiled["fn"](state, batch)
         return compiled["fn"](state, batch)
 
     return run

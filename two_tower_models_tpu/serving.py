@@ -89,9 +89,13 @@ class RetrievalEngine:
     ) -> None:
         """Swap in newly trained params + rebuilt corpus (e.g. after an
         online-training publish).  The jitted query re-runs without
-        recompilation — shapes are unchanged."""
-        self._params = params
-        self._corpus = refresh_corpus(
+        recompilation — shapes are unchanged.  The corpus is rebuilt BEFORE
+        either reference swaps: a query racing the refresh sees either the
+        fully-old or fully-new (params, corpus) pair, never new user
+        embeddings scored against an old-space corpus."""
+        corpus = refresh_corpus(
             params, self._cfg, catalog_ids, catalog_features,
             batch_size=embed_batch_size,
         )
+        self._params = params
+        self._corpus = corpus

@@ -152,6 +152,7 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         t0 = time.monotonic()
         n_run = 0
         idx_buf = []
+        profiling = [False]
         for i, idx in enumerate(
             epoch_batches(key, data.num_samples, train_cfg.batch_size)
         ):
@@ -159,15 +160,22 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 continue
             n_run += 1
             examples += train_cfg.batch_size
-            # Profile a small post-warmup window of epoch 0 (steps 3..7).
-            if train_cfg.profile_dir and epoch == 0 and i == 3:
+            # Profile a small post-warmup window of epoch 0: the dispatch(es)
+            # covering steps 3..7 (dispatch-granular when k_dispatch > 1).
+            if (
+                train_cfg.profile_dir and epoch == 0
+                and i - len(idx_buf) <= 3 <= i
+                and not profiling[0]
+            ):
                 jax.profiler.start_trace(train_cfg.profile_dir)
+                profiling[0] = True
             if k_dispatch > 1:
                 # buffer K batch-index rows into one jitted dispatch
                 idx_buf.append(idx)
                 if len(idx_buf) < k_dispatch and i + 1 < n_batches:
                     continue
-                if len(idx_buf) == k_dispatch:
+                executed = len(idx_buf)
+                if executed == k_dispatch:
                     state, metrics = train_step(state, data, jnp.stack(idx_buf))
                     # multi-step metrics are K-step means; sum-equivalent:
                     loss_sum = loss_sum + metrics["loss"] * k_dispatch
@@ -177,28 +185,34 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                         loss_sum = loss_sum + metrics["loss"]
                 idx_buf = []
             else:
+                executed = 1
                 state, metrics = train_step(state, data, idx)
                 loss_sum = loss_sum + metrics["loss"]  # stays on device
-            if train_cfg.profile_dir and epoch == 0 and i == 7:
+            if train_cfg.profile_dir and epoch == 0 and i >= 7 and profiling[0]:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                profiling[0] = False
                 logger.log("profile_written", dir=train_cfg.profile_dir)
-            if train_cfg.log_every and (i + 1) % train_cfg.log_every == 0:
-                logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
             # Host-side step counter: int(state.step) would force a
             # host-device sync EVERY iteration, serializing async dispatch.
+            # A gate fires if ANY step covered by this dispatch hits its
+            # modulo: (g // every) increments across the covered range.
             global_step = epoch * n_batches + i + 1
-            if train_cfg.eval_every and global_step % train_cfg.eval_every == 0:
+
+            def _gate(every: int) -> bool:
+                return bool(every) and (
+                    global_step // every > (global_step - executed) // every
+                )
+
+            if _gate(train_cfg.log_every):
+                logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
+            if _gate(train_cfg.eval_every):
                 _, recall_mid = eval_recall(state.params)
                 logger.log(
                     "eval", step=global_step, recall_at_k=recall_mid,
                     top_k=train_cfg.eval_top_k,
                 )
-            if (
-                ckpt_mgr
-                and train_cfg.checkpoint_every
-                and global_step % train_cfg.checkpoint_every == 0
-            ):
+            if ckpt_mgr and _gate(train_cfg.checkpoint_every):
                 ckpt_mgr.save(state)
         avg_loss = float(loss_sum) / max(n_run, 1)  # one sync per epoch
         epoch_losses.append((epoch, avg_loss))
