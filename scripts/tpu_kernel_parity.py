@@ -158,6 +158,29 @@ def main():
         1e-5,
     )
 
+    # ---- embedding-lookup VJP threshold wiring -----------------------------
+    from two_tower_models_tpu.nn.layers import (
+        _SCATTER_KERNEL_MIN_ROWS,
+        embedding_lookup,
+    )
+
+    vv = _SCATTER_KERNEL_MIN_ROWS  # first vocab size that takes the kernel
+    table = jax.random.normal(jax.random.key(9), (vv, 64))
+    l_ids = jax.random.randint(jax.random.key(10), (4096,), 0, vv)
+
+    def lk_loss(t):
+        return jnp.sum(embedding_lookup(t, l_ids) ** 2)
+
+    def plain_loss(t):
+        return jnp.sum(jnp.take(t, l_ids, axis=0) ** 2)
+
+    ok &= check(
+        "lookup VJP (kernel path) vs autodiff",
+        jax.jit(jax.grad(lk_loss))(table),
+        jax.jit(jax.grad(plain_loss))(table),
+        1e-5,
+    )
+
     # ---- fused adam -------------------------------------------------------
     import optax
 
