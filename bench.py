@@ -37,6 +37,10 @@ def _bench_cfg():
         history_encoder=HistoryEncoderConfig(fused_encoder=True),
         debias=Debias.BOTH,
         compute_dtype="bfloat16",
+        # at B=4096 fused vs dense loss is a wash end-to-end (XLA fuses the
+        # dense path well in-context); the kernel's HBM advantage appears at
+        # larger global batches.  On so --no-fused-loss actually toggles.
+        fused_loss=True,
     )
 
 
