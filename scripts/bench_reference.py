@@ -9,8 +9,14 @@ debiasing) — the deepest *working* model in its zoo.  Run:
 """
 
 import json
+import os
 import statistics
+import sys
 import time
+
+# the torch reference lives outside the repo; auto-locate the default mount
+if os.path.isdir("/root/reference") and "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 import torch
 

@@ -17,6 +17,9 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# the torch reference lives outside the repo; auto-locate the default mount
+if os.path.isdir("/root/reference") and "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 SEEDS = [0, 1, 2, 3, 4]
 EPOCHS = 3
