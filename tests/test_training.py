@@ -191,3 +191,29 @@ def test_steps_per_dispatch_parity():
     for la, lb in zip(a["epoch_losses"], b["epoch_losses"]):
         assert abs(la - lb) < 1e-5 * max(1.0, abs(la)), (la, lb)
     assert a["recall_at_k"] == b["recall_at_k"]
+
+
+def test_steps_per_dispatch_multidevice():
+    """K-step dispatch through the sharded shard_map path trains and matches
+    the K=1 sharded trajectory."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    def run(k):
+        exp = ExperimentConfig(
+            model=SMALL_MODEL,
+            data=SMALL_DATA,
+            mesh=MeshConfig(data=2, model=2, global_negatives=True),
+            train=TrainConfig(
+                batch_size=32, num_epochs=2, log_every=0, seed=5,
+                steps_per_dispatch=k,
+            ),
+        )
+        return train(exp, JsonlLogger(echo=False))
+
+    a = run(1)
+    b = run(4)  # 8 batches/epoch: two full dispatches
+    for la, lb in zip(a["epoch_losses"], b["epoch_losses"]):
+        assert abs(la - lb) < 1e-4 * max(1.0, abs(la)), (la, lb)

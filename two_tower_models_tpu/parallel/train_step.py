@@ -316,6 +316,21 @@ def make_sharded_train_step(
             out_specs=(specs, metric_specs),
             check_vma=False,
         )
+        if train_cfg.steps_per_dispatch > 1:
+            # K steps per dispatch: batch arrays arrive stacked [K, ...];
+            # the scan carry aliases the sharded state (same rationale as
+            # the single-chip multi-step path, training.step).
+            def multi(state, batches):
+                def body(s, b):
+                    s2, m = mapped(s, b)
+                    return s2, m
+
+                state, stacked = jax.lax.scan(body, state, batches)
+                return state, jax.tree_util.tree_map(
+                    lambda m: jnp.mean(m, axis=0), stacked
+                )
+
+            return jax.jit(multi, donate_argnums=(0,))
         return jax.jit(mapped, donate_argnums=(0,))
 
     _cache = {}

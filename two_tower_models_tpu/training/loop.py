@@ -76,29 +76,41 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
 
         mesh = make_mesh(mesh_cfg)
         state = shard_state(state, mesh)
-        if mesh_cfg.explicit_collectives:
-            sharded_step = make_sharded_train_step(model_cfg, train_cfg, mesh, mesh_cfg)
-        else:
+
+        def _make_mesh_step(tc):
+            if mesh_cfg.explicit_collectives:
+                return make_sharded_train_step(model_cfg, tc, mesh, mesh_cfg)
             from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
 
-            sharded_step = make_gspmd_train_step(model_cfg, train_cfg, mesh)
+            if tc.steps_per_dispatch > 1:
+                raise ValueError(
+                    "steps_per_dispatch > 1 is not implemented for the GSPMD "
+                    "path; use explicit_collectives=True"
+                )
+            return make_gspmd_train_step(model_cfg, tc, mesh)
+
         gather = jax.jit(gather_batch)
+        _mesh_step = _make_mesh_step(train_cfg)
 
         def train_step(s, d, idx):
-            return sharded_step(s, gather(d, idx))
+            # idx is [B] (single step) or [K, B] (multi-step dispatch);
+            # gather_batch fancy-indexing produces matching batch ranks.
+            return _mesh_step(s, gather(d, idx))
+
+        def _make_single():
+            one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
+            return lambda s, d, idx: one(s, gather(d, idx))
 
     else:
         train_step = make_train_step(model_cfg, train_cfg)
+
+        def _make_single():
+            return make_train_step(model_cfg, replace(train_cfg, steps_per_dispatch=1))
+
     # Multi-step dispatch (steps_per_dispatch > 1): group K batch-index rows
     # into one jitted call.  Single-step fallback handles epoch remainders.
     k_dispatch = max(1, train_cfg.steps_per_dispatch)
-    if k_dispatch > 1 and mesh_cfg.data * mesh_cfg.model > 1:
-        raise ValueError("steps_per_dispatch > 1 is single-chip-path only")
-    single_step = (
-        make_train_step(model_cfg, replace(train_cfg, steps_per_dispatch=1))
-        if k_dispatch > 1
-        else train_step
-    )
+    single_step = _make_single() if k_dispatch > 1 else train_step
     recall_fn = make_eval_recall_fn(model_cfg, train_cfg.eval_top_k)
 
     ckpt_mgr = None
