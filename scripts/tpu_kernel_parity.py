@@ -142,6 +142,23 @@ def main():
     ok &= check("ce vjp du f32", gu_f, gu_r, tol_f32)
     ok &= check("ce vjp di f32", gi_f, gi_r, tol_f32)
 
+    # ---- rectangular fused_lse (cross-chip negatives core) -----------------
+    from two_tower_models_tpu.ops.pallas.fused_softmax import fused_lse
+
+    ul = jax.random.normal(jax.random.key(5), (512, 64), jnp.float32)
+    il = jax.random.normal(jax.random.key(6), (4096, 64), jnp.float32)
+
+    def lse_ref(u, i):
+        return jax.nn.logsumexp(
+            jnp.dot(u, i.T, preferred_element_type=jnp.float32), axis=-1
+        )
+
+    ok &= check("fused_lse fwd f32", fused_lse(ul, il), lse_ref(ul, il), tol_f32)
+    g_f = jax.grad(lambda u, i: jnp.sum(fused_lse(u, i)), (0, 1))(ul, il)
+    g_r = jax.grad(lambda u, i: jnp.sum(lse_ref(u, i)), (0, 1))(ul, il)
+    ok &= check("fused_lse vjp du f32", g_f[0], g_r[0], tol_f32)
+    ok &= check("fused_lse vjp di f32", g_f[1], g_r[1], tol_f32)
+
     # ---- scatter-add kernel -------------------------------------------------
     from two_tower_models_tpu.ops.pallas.scatter_add import (
         rows_scatter_add,
