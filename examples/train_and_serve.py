@@ -46,6 +46,9 @@ def main():
         user_id_embedding_dim=32,
         item_id_embedding_dim=32,
         num_items=50,
+        # The reference's debias aux MSEs are batch SUMS; rescale so they
+        # don't drown the retrieval loss (see BASELINE.md large-batch note).
+        debias_aux_weight=1.0 / 64,
     )
     data_cfg = DataConfig(
         num_samples=4096, num_users=512, num_items=512,
