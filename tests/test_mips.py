@@ -179,3 +179,40 @@ def test_retrieve_approx_mips_config():
     assert int(jnp.min(approx)) >= 0 and int(jnp.max(approx)) < 128
     for r_e, r_a in zip(np.asarray(exact), np.asarray(approx)):
         assert set(r_e.tolist()) == set(r_a.tolist())
+
+
+def test_retrieve_light_ranker_approx():
+    """Two-stage retrieval (MIPS -> light-ranker rerank) through the approx
+    serving path returns valid, exact-shaped results."""
+    import dataclasses
+
+    from two_tower_models_tpu.config import HistoryEncoderConfig, LightRankerConfig
+
+    cfg = ModelConfig(
+        user_id_hash_size=64,
+        user_id_embedding_dim=16,
+        item_id_hash_size=64,
+        item_id_embedding_dim=16,
+        user_features_size=8,
+        item_features_size=8,
+        user_value_weights=(1.0,),
+        history_len=4,
+        history_encoder=HistoryEncoderConfig(num_heads=2, num_layers=1),
+        light_ranker=LightRankerConfig(num_mips_items=20, num_ranker_user_embeddings=2),
+        num_items=5,
+        approx_mips=True,
+    )
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    corpus = jax.random.normal(jax.random.key(1), (256, 16))
+    ks = jax.random.split(jax.random.key(2), 3)
+    out = two_tower.retrieve(
+        params, cfg, corpus,
+        jax.random.randint(ks[0], (8,), 0, 64),
+        jax.random.normal(ks[1], (8, 8)),
+        jax.random.randint(ks[2], (8, 4), 0, 64),
+    )
+    assert out.shape == (8, 5)
+    assert int(out.min()) >= 0 and int(out.max()) < 256
+    # reranked results come from the MIPS candidate pool: all rows distinct
+    for row in np.asarray(out):
+        assert len(set(row.tolist())) == 5
