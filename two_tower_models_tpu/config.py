@@ -227,6 +227,10 @@ class DataConfig:
     num_tasks: int = 1
     max_position: int = 10
     seed: int = 0
+    # True plants an 8-group user-item affinity so recall is measurable;
+    # False reproduces the reference demo's pure-noise labels
+    # (train/train.py:53-55), where recall@k can only be random.
+    structured: bool = True
 
 
 @dataclass(frozen=True)

@@ -57,7 +57,9 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
 
     label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
-    data = make_synthetic_data(data_cfg, label_cols=label_cols)
+    data = make_synthetic_data(
+        data_cfg, structured=data_cfg.structured, label_cols=label_cols
+    )
     state = create_train_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
 
     mesh_cfg = exp.mesh
@@ -271,6 +273,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--noise_labels", action="store_true",
+                   help="pure-noise labels like the reference demo (recall@k becomes random)")
     p.add_argument("--learning_rate", type=float, default=1e-3)
     # systems flags the reference lacks
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
@@ -315,6 +319,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         feature_dim=args.feature_dim,
         history_len=args.user_history_seqlen,
         num_tasks=model.num_tasks,
+        structured=not args.noise_labels,
     )
     train_c = TrainConfig(
         batch_size=args.batch_size,
