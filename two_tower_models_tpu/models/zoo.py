@@ -13,7 +13,6 @@ from dataclasses import dataclass, replace
 from typing import Dict, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from two_tower_models_tpu.config import (
     Debias,

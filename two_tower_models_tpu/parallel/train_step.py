@@ -26,7 +26,6 @@ communication pattern auditable and unit-testable on a fake mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax
@@ -34,7 +33,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from two_tower_models_tpu.config import Debias, MeshConfig, ModelConfig, TrainConfig
+from two_tower_models_tpu.config import MeshConfig, ModelConfig, TrainConfig
 from two_tower_models_tpu.models.history_encoder import history_encoder_apply
 from two_tower_models_tpu.models.two_tower import (
     Batch,

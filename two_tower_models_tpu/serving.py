@@ -18,8 +18,6 @@ Measured end-to-end (scripts/bench_serving.py, v5e): see BASELINE.md.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from two_tower_models_tpu.training.state import TrainState

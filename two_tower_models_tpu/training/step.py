@@ -8,7 +8,6 @@ returns on-device metrics; the host only pulls them at log boundaries.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
