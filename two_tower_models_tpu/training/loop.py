@@ -37,6 +37,13 @@ from two_tower_models_tpu.training.step import make_eval_recall_fn, make_train_s
 from two_tower_models_tpu.utils.logging import JsonlLogger
 
 
+def _hits_gate(every: int, global_step: int, executed: int) -> bool:
+    """True if any step in this dispatch's covered range (global_step -
+    executed, global_step] hits the every-N modulo: (g // every) increments
+    across the range exactly when a multiple of ``every`` lies inside it."""
+    return bool(every) and global_step // every > (global_step - executed) // every
+
+
 def train(
     exp: ExperimentConfig, logger: Optional[JsonlLogger] = None
 ) -> dict:
@@ -209,15 +216,8 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 logger.log("profile_written", dir=train_cfg.profile_dir)
             # Host-side step counter: int(state.step) would force a
             # host-device sync EVERY iteration, serializing async dispatch.
-            # A gate fires if ANY step covered by this dispatch hits its
-            # modulo: (g // every) increments across the covered range.
             global_step = epoch * n_batches + i + 1
-
-            def _gate(every: int) -> bool:
-                return bool(every) and (
-                    global_step // every > (global_step - executed) // every
-                )
-
+            _gate = lambda every: _hits_gate(every, global_step, executed)
             if _gate(train_cfg.log_every):
                 logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
             if _gate(train_cfg.eval_every):
