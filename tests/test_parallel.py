@@ -199,6 +199,28 @@ def test_sharded_gradients_match_single_chip(mesh_shape):
 
 
 @requires_8
+@pytest.mark.parametrize(
+    "preset_name",
+    [
+        "two_tower_plus_light_ranker",
+        "two_tower_plus_light_ranker_kd",
+        "two_tower_with_main_ranker_reward",
+    ],
+)
+def test_sharded_step_raises_on_unsupported_preset(preset_name):
+    """Configs whose loss terms the sharded path doesn't implement must FAIL
+    LOUDLY at build time, not train a different objective (VERDICT r1 #1)."""
+    from two_tower_models_tpu.config import preset
+
+    cfg = preset(preset_name)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    mesh_cfg = MeshConfig(data=4, model=2)
+    tcfg = TrainConfig(batch_size=32)
+    with pytest.raises(NotImplementedError, match="sharded step"):
+        make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
+
+
+@requires_8
 def test_gspmd_step_parity_with_single_chip():
     """The GSPMD path (jit + NamedSharding over the single-chip step) must
     match the single-chip step exactly — same traced program, partitioned."""

@@ -248,6 +248,23 @@ def make_sharded_train_step(
     ``parallel.sharding.shard_state`` and batch arrays shardable on their
     leading axis over ``data``.
     """
+    # Refuse configs whose loss terms sharded_loss_fn does not implement:
+    # training them here would silently optimize a DIFFERENT objective
+    # (frozen ranker heads, wrong nuv normalization) with a plausible loss.
+    unsupported = []
+    if model_cfg.light_ranker is not None:
+        unsupported.append("light_ranker")
+    if model_cfg.kd:
+        unsupported.append("kd")
+    if model_cfg.reward_model:
+        unsupported.append("reward_model")
+    if unsupported:
+        raise NotImplementedError(
+            "the explicit-collectives sharded step does not implement these "
+            f"loss terms yet: {unsupported}; use the GSPMD path "
+            "(explicit_collectives=False), which partitions the full "
+            "single-chip loss"
+        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):
