@@ -198,26 +198,128 @@ def test_sharded_gradients_match_single_chip(mesh_shape):
         )
 
 
-@requires_8
-@pytest.mark.parametrize(
-    "preset_name",
-    [
-        "two_tower_plus_light_ranker",
-        "two_tower_plus_light_ranker_kd",
-        "two_tower_with_main_ranker_reward",
-    ],
-)
-def test_sharded_step_raises_on_unsupported_preset(preset_name):
-    """Configs whose loss terms the sharded path doesn't implement must FAIL
-    LOUDLY at build time, not train a different objective (VERDICT r1 #1)."""
+def _small_preset(name: str):
+    """The named preset at test scale (tiny dims, 1 attention layer)."""
     from two_tower_models_tpu.config import preset
 
-    cfg = preset(preset_name)
+    over = dict(
+        user_id_hash_size=64,
+        user_id_embedding_dim=16,
+        item_id_hash_size=64,
+        item_id_embedding_dim=16,
+        user_features_size=8,
+        item_features_size=8,
+        feature_hidden_dim=32,
+        user_value_weights=(1.0, 0.5),
+        history_len=8,
+    )
+    if preset(name).history_encoder is not None:
+        over["history_encoder"] = HistoryEncoderConfig(num_heads=2, num_layers=1)
+    return preset(name, **over)
+
+
+ALL_PRESETS = [
+    "two_tower_base_retrieval",
+    "two_tower_with_user_history_encoder",
+    "two_tower_with_position_debiased_weights",
+    "two_tower_with_user_debiased_weights",
+    "two_tower_with_debiasing",
+    "two_tower_plus_light_ranker",
+    "two_tower_plus_light_ranker_kd",
+    "two_tower_with_main_ranker_reward",
+]
+
+
+@requires_8
+@pytest.mark.parametrize("preset_name", ALL_PRESETS)
+def test_sharded_loss_and_grads_match_single_chip_all_presets(preset_name):
+    """The WHOLE zoo trains the single-chip objective on a mesh: sharded loss
+    AND every parameter gradient (incl. ranker heads, KD aux logits, proxy
+    ranker) match two_tower.train_loss on the global batch (VERDICT r1 #1)."""
+    from two_tower_models_tpu.parallel.sharding import param_pspecs
+    from two_tower_models_tpu.parallel.train_step import sharded_loss_fn
+
+    cfg = _small_preset(preset_name)
+    d, m = 4, 2
+    mesh = make_mesh(MeshConfig(data=d, model=m))
+    mesh_cfg = MeshConfig(data=d, model=m, global_negatives=True)
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    label_cols = cfg.num_tasks * (2 if cfg.kd else 1)
+    batch = make_batch(jax.random.key(1), cfg, 32, num_label_cols=label_cols)
+    batch_specs = type(batch)(*([P(DATA_AXIS)] * 7))
+
+    def loss_sharded(params, batch):
+        return jax.shard_map(
+            lambda p, b: sharded_loss_fn(p, cfg, mesh_cfg, b)[0],
+            mesh=mesh,
+            in_specs=(param_pspecs(params), batch_specs),
+            out_specs=P(),
+            check_vma=False,
+        )(params, batch)
+
+    loss_s, g_sharded = jax.value_and_grad(loss_sharded)(params, batch)
+    loss_r, g_ref = jax.value_and_grad(
+        lambda p: two_tower.train_loss(p, cfg, batch)[0]
+    )(params)
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+
+    flat_s = jax.tree_util.tree_leaves_with_path(g_sharded)
+    flat_r = {
+        jax.tree_util.keystr(p): g
+        for p, g in jax.tree_util.tree_leaves_with_path(g_ref)
+    }
+    # Light-ranker presets skip nuv max-normalization (reference semantics,
+    # two_tower_plus_light_ranker.py:286-289) while the BOTH-debias estimate
+    # clamps at 1e-3, so weighted-CE intermediates reach O(1e3): f32
+    # reassociation noise through that cancellation is ~1e-5 absolute on
+    # O(1e-3) grads.  Max-normalized presets stay at the tighter bound.
+    atol = 5e-5 if cfg.light_ranker is not None else 1e-6
+    for path, g in flat_s:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(flat_r[key]), rtol=5e-4, atol=atol,
+            err_msg=f"grad mismatch at {key}",
+        )
+        # the heads round 1 trained frozen must actually receive signal
+        # (debias heads excluded: USER's clamp-before-MSE legitimately
+        # saturates to zero grad at init — reference semantics)
+        if any(s in key for s in ("ranker", "proxy")):
+            assert np.abs(np.asarray(g)).max() > 0, f"zero grad at {key}"
+
+
+@requires_8
+@pytest.mark.parametrize("preset_name", ["two_tower_plus_light_ranker_kd",
+                                         "two_tower_with_main_ranker_reward"])
+def test_sharded_train_step_runs_full_zoo(preset_name):
+    """End-to-end sharded step (jit + shard_map + optimizer) for the presets
+    the round-1 path refused: params move, metrics include the new terms."""
+    cfg = _small_preset(preset_name)
     mesh = make_mesh(MeshConfig(data=4, model=2))
-    mesh_cfg = MeshConfig(data=4, model=2)
-    tcfg = TrainConfig(batch_size=32)
-    with pytest.raises(NotImplementedError, match="sharded step"):
-        make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
+    mesh_cfg = MeshConfig(data=4, model=2, global_negatives=True)
+    tcfg = TrainConfig(batch_size=32, learning_rate=1e-3)
+    state = create_train_state(jax.random.key(0), cfg, tcfg)
+    label_cols = cfg.num_tasks * (2 if cfg.kd else 1)
+    batch = make_batch(jax.random.key(1), cfg, 32, num_label_cols=label_cols)
+
+    orig = jax.device_get(state.params)
+    sharded = shard_state(state, mesh)
+    step = make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
+    new_state, metrics = step(sharded, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    if cfg.light_ranker is not None:
+        assert "light_ranker_bce" in metrics
+    if cfg.kd:
+        assert "kd_loss" in metrics
+    if cfg.reward_model:
+        assert "reward_kl" in metrics and "proxy_ranker_bce" in metrics
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(new_state.params), orig,
+    )
+    # ranker/proxy heads must move — round 1 trained them frozen at init
+    for name in ("ranker_user_tower", "light_ranker_head", "proxy_ranker"):
+        if name in moved:
+            assert max(jax.tree_util.tree_leaves(moved[name])) > 0, name
 
 
 @requires_8

@@ -38,6 +38,7 @@ from two_tower_models_tpu.models.history_encoder import history_encoder_apply
 from two_tower_models_tpu.models.two_tower import (
     Batch,
     _bce_with_logits,
+    _light_ranker_train_terms,
     _net_user_value,
     debias_net_user_value,
 )
@@ -62,6 +63,8 @@ def _lookup(params, name, ids, strategy):
 
 
 def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy):
+    """Returns (user_emb [B_local, DI], ranker_embs [B_local, NU, DI] | None) —
+    mirrors two_tower.compute_user_embedding over the sharded lookup."""
     cd = cfg.cdtype
     uid = _lookup(params, "user_id_table", user_id, strategy)
     ufeat = mlp_apply(params["user_features_mlp"], user_features, cd)
@@ -73,7 +76,13 @@ def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, 
         )
         parts.append(summary.reshape(summary.shape[0], -1))
     x = jnp.concatenate(parts, axis=-1)
-    return linear_apply(params["user_tower_head"], x, cd)
+    user_emb = linear_apply(params["user_tower_head"], x, cd)
+    ranker_embs = None
+    if cfg.light_ranker is not None:
+        nu = cfg.light_ranker.num_ranker_user_embeddings
+        flat = linear_apply(params["ranker_user_tower"], x, cd)  # [B, NU*DI]
+        ranker_embs = flat.reshape(flat.shape[0], nu, cfg.item_id_embedding_dim)
+    return user_emb, ranker_embs
 
 
 def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy):
@@ -84,6 +93,63 @@ def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy):
     return linear_apply(params["item_tower_head"], x, cd)
 
 
+def _sharded_reward_model_terms(
+    params,
+    cfg: ModelConfig,
+    user_emb,  # [B_local, DI]
+    item_emb,  # [B_local, DI] — this shard's own items
+    negatives,  # [B_global, DI] — gathered item pool
+    scores,  # [B_local, B_global] retrieval logits
+    pos,  # [B_local] — diagonal scores (own user x own item)
+    labels,  # [B_local, T]
+):
+    """Sharded reward-model KL + proxy BCE (two_tower._reward_model_terms with
+    the item axis spanning the GLOBAL batch; see that docstring for the
+    linear-decomposition derivation — the [B, B, T] tensor never exists).
+
+    Reference intent: two_tower_base_plus_main_ranker_reward_model.py:113-122.
+    Everything is local except the row mean of the KL and the proxy BCE mean,
+    which pmean over ``data`` (equal-sized shards => mean of shard means)."""
+    w_full = params["proxy_ranker"]["w"].astype(jnp.float32)  # [2*DI+1, T]
+    b_full = params["proxy_ranker"]["b"].astype(jnp.float32)  # [T]
+    di = cfg.item_id_embedding_dim
+    wu, wi, ws = w_full[:di], w_full[di : 2 * di], w_full[2 * di]
+
+    u32 = user_emb.astype(jnp.float32)
+    i32 = item_emb.astype(jnp.float32)
+    n32 = negatives.astype(jnp.float32)
+    s32 = scores.astype(jnp.float32)
+    uvw = jnp.asarray(cfg.user_value_weights, jnp.float32)
+
+    ranker_vm = (
+        (u32 @ (wu @ uvw))[:, None]  # [B_local, 1]
+        + (n32 @ (wi @ uvw))[None, :]  # [1, B_global]
+        + s32 * jnp.dot(ws, uvw)
+        + jnp.dot(b_full, uvw)
+    )  # [B_local, B_global]
+    ranker_top_probs = jax.lax.stop_gradient(jax.nn.softmax(ranker_vm, axis=-1))
+    log_q = jax.nn.log_softmax(s32, axis=-1)
+    kl = jax.lax.pmean(
+        jnp.mean(
+            jnp.sum(
+                ranker_top_probs
+                * (jnp.log(jnp.clip(ranker_top_probs, min=1e-30)) - log_q),
+                axis=-1,
+            )
+        ),
+        DATA_AXIS,
+    )
+
+    # proxy BCE on the impressed (diagonal) pairs only: [B_local, T]
+    diag_logits = u32 @ wu + i32 @ wi + pos[:, None] * ws[None, :] + b_full
+    proxy_bce = jax.lax.pmean(
+        _bce_with_logits(diag_logits, labels[:, : cfg.num_tasks]), DATA_AXIS
+    )
+
+    loss = cfg.reward_model_loss_weight * kl + proxy_bce
+    return loss, {"reward_kl": kl, "proxy_ranker_bce": proxy_bce}
+
+
 def sharded_loss_fn(
     params,
     cfg: ModelConfig,
@@ -91,9 +157,12 @@ def sharded_loss_fn(
     batch: Batch,
     lookup_strategy: str = "psum",
 ):
-    """Per-shard loss with cross-chip negative sharing.  Must run inside
-    shard_map over a ('data', 'model') mesh; batch arrays arrive data-sharded."""
-    user_emb = _user_tower(
+    """Per-shard loss with cross-chip negative sharing — the FULL zoo (base,
+    history, debias, light ranker, KD, reward model).  Must run inside
+    shard_map over a ('data', 'model') mesh; batch arrays arrive data-sharded.
+    Matches two_tower.train_loss on the global batch (parity-tested per preset
+    in tests/test_parallel.py)."""
+    user_emb, ranker_embs = _user_tower(
         params, cfg, batch.user_id, batch.user_features, batch.user_history,
         lookup_strategy,
     )  # [B_local, DI]
@@ -115,30 +184,41 @@ def sharded_loss_fn(
     pos = jnp.einsum(
         "bd,bd->b", user_emb, item_emb, preferred_element_type=jnp.float32
     )
-    if cfg.fused_loss:
+    scores = None
+    if cfg.reward_model:
+        # Reward model consumes the full [B_local, B_global] score matrix
+        # (pairwise ranker logits) — materialize it and reuse for the CE.
+        scores = jnp.dot(
+            user_emb, negatives.T, preferred_element_type=jnp.float32
+        )
+        lse = jax.nn.logsumexp(scores, axis=-1)
+    elif cfg.fused_loss:
         # Flash-style kernel: the [B_local, B_global] score matrix never
         # reaches HBM (ops.pallas.fused_softmax.fused_lse).
         from two_tower_models_tpu.ops.pallas.fused_softmax import fused_lse
 
         lse = fused_lse(user_emb, negatives)
     else:
-        scores = jnp.dot(
-            user_emb, negatives.T, preferred_element_type=jnp.float32
-        )  # [B_local, B_global]
-        lse = jax.nn.logsumexp(scores, axis=-1)
+        lse = jax.nn.logsumexp(
+            jnp.dot(user_emb, negatives.T, preferred_element_type=jnp.float32),
+            axis=-1,
+        )
     ce = lse - pos  # [B_local]
 
     nuv = _net_user_value(cfg, batch.labels)
     nuv, aux_loss = debias_net_user_value(params, cfg, nuv, batch.position, user_emb)
     aux_loss = aux_loss * cfg.debias_aux_weight
     nuv = jnp.clip(nuv, min=cfg.nuv_min)
-    # Max-normalize over the GLOBAL batch (single-chip parity).  all_gather
-    # + max instead of pmax: with a debias head active, nuv is
-    # param-dependent and the normalizer must be differentiable (pmax has no
-    # VJP; all_gather's transpose is psum_scatter).  [B_global] floats over
-    # ICI — negligible.
-    global_max = jnp.max(jax.lax.all_gather(nuv, DATA_AXIS, tiled=True))
-    nuv = nuv / global_max
+    if cfg.light_ranker is None:
+        # Max-normalize over the GLOBAL batch (single-chip parity).  The
+        # light ranker's own train path deliberately skips this
+        # (two_tower_plus_light_ranker.py:286-289).  all_gather + max instead
+        # of pmax: with a debias head active, nuv is param-dependent and the
+        # normalizer must be differentiable (pmax has no VJP; all_gather's
+        # transpose is psum_scatter).  [B_global] floats over ICI —
+        # negligible.
+        global_max = jnp.max(jax.lax.all_gather(nuv, DATA_AXIS, tiled=True))
+        nuv = nuv / global_max
 
     # Global mean over data shards; aux losses are per-shard sums -> mean of
     # shard values matches single-chip (debias MSEs are batch sums, so psum).
@@ -153,6 +233,25 @@ def sharded_loss_fn(
         "debias_aux_loss": jax.lax.psum(aux_loss, DATA_AXIS),
         "nuv_mean": jax.lax.pmean(jnp.mean(nuv), DATA_AXIS),
     }
+
+    if cfg.light_ranker is not None:
+        # Pointwise terms are per-example local (target-aware attention + BCE
+        # on the impressed item); only the batch means cross shards.
+        lr_loss, lr_metrics = _light_ranker_train_terms(
+            params, cfg, ranker_embs, item_emb, pos, batch.labels
+        )
+        loss = loss + jax.lax.pmean(lr_loss, DATA_AXIS)
+        metrics.update(
+            {k: jax.lax.pmean(v, DATA_AXIS) for k, v in lr_metrics.items()}
+        )
+
+    if cfg.reward_model:
+        rm_loss, rm_metrics = _sharded_reward_model_terms(
+            params, cfg, user_emb, item_emb, negatives, scores, pos, batch.labels
+        )
+        loss = loss + rm_loss
+        metrics.update(rm_metrics)
+
     return loss, metrics
 
 
@@ -248,23 +347,6 @@ def make_sharded_train_step(
     ``parallel.sharding.shard_state`` and batch arrays shardable on their
     leading axis over ``data``.
     """
-    # Refuse configs whose loss terms sharded_loss_fn does not implement:
-    # training them here would silently optimize a DIFFERENT objective
-    # (frozen ranker heads, wrong nuv normalization) with a plausible loss.
-    unsupported = []
-    if model_cfg.light_ranker is not None:
-        unsupported.append("light_ranker")
-    if model_cfg.kd:
-        unsupported.append("kd")
-    if model_cfg.reward_model:
-        unsupported.append("reward_model")
-    if unsupported:
-        raise NotImplementedError(
-            "the explicit-collectives sharded step does not implement these "
-            f"loss terms yet: {unsupported}; use the GSPMD path "
-            "(explicit_collectives=False), which partitions the full "
-            "single-chip loss"
-        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):
@@ -318,13 +400,14 @@ def make_sharded_train_step(
             position=P(DATA_AXIS),
             labels=P(DATA_AXIS),
         )
-        metric_specs = {
-            "softmax_ce": P(),
-            "debias_aux_loss": P(),
-            "nuv_mean": P(),
-            "loss": P(),
-            "grad_norm": P(),
-        }
+        metric_names = ["softmax_ce", "debias_aux_loss", "nuv_mean", "loss", "grad_norm"]
+        if model_cfg.light_ranker is not None:
+            metric_names.append("light_ranker_bce")
+        if model_cfg.kd:
+            metric_names.append("kd_loss")
+        if model_cfg.reward_model:
+            metric_names += ["reward_kl", "proxy_ranker_bce"]
+        metric_specs = {name: P() for name in metric_names}
         mapped = jax.shard_map(
             per_shard_step,
             mesh=mesh,
