@@ -509,39 +509,26 @@ def train_loss(
 # ---------------------------------------------------------------------------
 
 
-def retrieve(
+def retrieve_from_embeddings(
     params: Dict,
     cfg: ModelConfig,
-    corpus: jnp.ndarray,  # [C, DI] — MIPS corpus (see retrieval.mips)
-    user_id,
-    user_features,
-    user_history,
+    user_emb: jnp.ndarray,  # [B, DI]
+    ranker_embs: Optional[jnp.ndarray],  # [B, NU, DI] when light ranker on
+    topk_fn,  # (query [B, DI], k) -> (indices, scores, embeddings)
 ) -> jnp.ndarray:
-    """Inference: top ``cfg.num_items`` corpus indices per user [B, num_items].
+    """Top-k retrieval [+ light-ranker rerank] given precomputed user
+    embeddings and a top-k implementation.
 
-    Base path (two_tower_base_retrieval.py:221-249): user embedding -> exact
-    MIPS top-k.  Light-ranker path (two_tower_plus_light_ranker.py:131-209):
-    MIPS top ``num_mips_items`` then pointwise rerank to ``num_items``.
-    """
-    from two_tower_models_tpu.retrieval.mips import mips_topk, mips_topk_approx
-
-    if cfg.approx_mips:
-        # Serving path: PartialReduce-backed approximate top-k (config.py).
-        topk = functools.partial(mips_topk_approx, recall_target=cfg.mips_recall_target)
-    else:
-        topk = mips_topk
-
-    user_emb, ranker_embs = compute_user_embedding(
-        params, cfg, user_id, user_features, user_history
-    )
-
+    The ``topk_fn`` seam is what lets the sharded path (corpus row-sharded
+    over the mesh, ``retrieval.mips.sharded_mips_topk``) reuse the exact
+    rerank logic of the single-device path."""
     if cfg.light_ranker is None:
-        indices, _, _ = topk(corpus, user_emb, cfg.num_items)
+        indices, _, _ = topk_fn(user_emb, cfg.num_items)
         return indices
 
     lr = cfg.light_ranker
-    mips_items, mips_scores, mips_item_emb = topk(
-        corpus, user_emb, lr.num_mips_items
+    mips_items, mips_scores, mips_item_emb = topk_fn(
+        user_emb, lr.num_mips_items
     )  # [B,NI], [B,NI], [B,NI,DI]
 
     # Target-aware attention of each candidate against the NU user embeddings
@@ -572,3 +559,33 @@ def retrieve(
     value = jnp.einsum("bkt,t->bk", task_logits, uvw)  # [B, NI]
     _, top_idx = jax.lax.top_k(value, cfg.num_items)  # [B, num_items]
     return jnp.take_along_axis(mips_items, top_idx, axis=1)
+
+
+def retrieve(
+    params: Dict,
+    cfg: ModelConfig,
+    corpus: jnp.ndarray,  # [C, DI] — MIPS corpus (see retrieval.mips)
+    user_id,
+    user_features,
+    user_history,
+) -> jnp.ndarray:
+    """Inference: top ``cfg.num_items`` corpus indices per user [B, num_items].
+
+    Base path (two_tower_base_retrieval.py:221-249): user embedding -> exact
+    MIPS top-k.  Light-ranker path (two_tower_plus_light_ranker.py:131-209):
+    MIPS top ``num_mips_items`` then pointwise rerank to ``num_items``.
+    """
+    from two_tower_models_tpu.retrieval.mips import mips_topk_approx, mips_topk_exact
+
+    if cfg.approx_mips:
+        # Serving path: PartialReduce-backed approximate top-k (config.py).
+        base = functools.partial(mips_topk_approx, recall_target=cfg.mips_recall_target)
+    else:
+        # Exact path (offline eval / parity): Pallas tile-max pipeline.
+        base = mips_topk_exact
+    topk_fn = lambda q, k: base(corpus, q, k)
+
+    user_emb, ranker_embs = compute_user_embedding(
+        params, cfg, user_id, user_features, user_history
+    )
+    return retrieve_from_embeddings(params, cfg, user_emb, ranker_embs, topk_fn)

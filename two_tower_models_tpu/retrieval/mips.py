@@ -14,14 +14,22 @@ plus a gather of the winning embeddings.  Differences, deliberate:
     per-shard top-k then a gathered merge, so the full [B, C] score matrix
     never exists on one chip.
 
-The single-chip hot path is a plain jnp matmul + ``lax.top_k`` — XLA already
-tiles the [B, C] x [C, DI] contraction onto the MXU; a Pallas variant for
-very large corpora lives in ``ops.pallas.mips_topk``.
+Exact top-k paths, fastest first (measured v5e, C=1M x 64, B=1024, k=100 —
+BASELINE.md):
+
+  * ``mips_topk_exact`` — tile-max pruning with Pallas passes
+    (``ops.pallas.mips_topk``); bit-exact vs ``lax.top_k``.
+  * ``mips_topk_exact_tilemax`` — same algorithm, pure XLA.
+  * ``mips_topk`` — plain matmul + ``lax.top_k`` (the reference's lowering;
+    ~linear in C at ~0.35 ns/element).
+
+Serving uses ``mips_topk_approx`` (hardware PartialReduce) — still the
+latency winner when ~0.97 recall@100 is acceptable.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +63,9 @@ def sharded_mips_topk(
     corpus_shard: jnp.ndarray,  # [C/n, DI] — this device's rows
     query: jnp.ndarray,  # [B, DI] — replicated along the shard axis
     k: int,
-    axis_name: str,
+    axis_name,  # str or tuple of axis names (shard axis/axes of the corpus)
+    valid_count: Optional[int] = None,  # global rows < this are real; rest pad
+    recall_target: Optional[float] = None,  # None = exact; else local approx
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-k over a row-sharded corpus, for use inside ``shard_map``.
 
@@ -63,12 +73,29 @@ def sharded_mips_topk(
     from the shard offset), then the k-per-shard candidates are all-gathered
     and merged with a second top-k — O(n_shards * k) merge work instead of
     O(C).  Total comms: n * k * (DI + 2) floats over ICI.
+
+    ``axis_name`` may be a tuple (e.g. ``('data', 'model')``) to shard the
+    corpus over a flattened multi-axis mesh; the global row index follows the
+    same row-major axis order as ``PartitionSpec((a, b))``.  ``valid_count``
+    masks padded corpus rows (catalogs are padded to a multiple of the shard
+    count).  ``recall_target`` switches the per-shard scan to the serving
+    ``lax.approx_max_k`` (PartialReduce); the merge stays exact over the
+    per-shard candidates.
     """
     shard = jax.lax.axis_index(axis_name)
     n_local = corpus_shard.shape[0]
 
     local_scores = jnp.dot(query, corpus_shard.T, preferred_element_type=jnp.float32)
-    local_top, local_idx = jax.lax.top_k(local_scores, min(k, n_local))  # [B, k]
+    if valid_count is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, local_scores.shape, 1)
+        global_col = col + shard * n_local
+        local_scores = jnp.where(global_col < valid_count, local_scores, -jnp.inf)
+    if recall_target is None:
+        local_top, local_idx = jax.lax.top_k(local_scores, min(k, n_local))  # [B, k]
+    else:
+        local_top, local_idx = jax.lax.approx_max_k(
+            local_scores, min(k, n_local), recall_target=recall_target
+        )
     local_emb = jnp.take(corpus_shard, local_idx, axis=0)  # [B, k, DI]
     global_idx = local_idx + shard * n_local
 
@@ -124,6 +151,120 @@ def mips_topk_segmented(
     scores = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
     top_scores, top_idx = segmented_topk(scores, k, num_segments)
     return top_idx, top_scores, jnp.take(corpus, top_idx, axis=0)
+
+
+def mips_topk_exact_tilemax(
+    corpus: jnp.ndarray,  # [C, DI]
+    query: jnp.ndarray,  # [B, DI]
+    k: int,
+    tile: int = 128,
+    chunk: int = 131072,
+    query_block: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact MIPS top-k via tile-max pruning — the fast exact path.
+
+    ``lax.top_k`` over [B, C] is ~linear in C at a slow constant (339 ms at
+    B=1024, C=1M, k=100 on v5e — BASELINE.md).  This decomposition replaces
+    the single wide selection with three cheap passes:
+
+      1. tile maxes: m[b, t] = max(scores[b, t*tile : (t+1)*tile]) computed
+         chunk-by-chunk (the [B, C] score matrix never materializes);
+      2. top-k TILES by max: ``lax.top_k(m, k)`` over C/tile columns — a
+         selection 128x narrower than the naive one;
+      3. rescore only the selected k*tile candidates and take the final
+         top-k.
+
+    Exactness: an element with score >= s_k (the true k-th value) makes its
+    tile's max >= s_k, and at most k tiles can have max >= s_k (each such
+    tile contains at least one of the k elements >= s_k), so the k tiles
+    selected in pass 2 contain every true top-k element.  The argument
+    extends to ties because both selections are stable (lowest index wins):
+    a tile containing a top-k element can only be displaced by tiles that
+    each contain a strictly-higher-ranked element, and there are < k of
+    those.  Tie CAVEAT: when equal scores span different tiles, the returned
+    ORDER among tied winners can differ from ``lax.top_k``'s global
+    lowest-index order (the winner set is identical).
+
+    Measured (v5e, C=1M x 64 bf16, B=1024, k=100): see BASELINE.md — this is
+    the offline-eval exact path; serving stays on ``mips_topk_approx``.
+    """
+    c, di = corpus.shape
+    b = query.shape[0]
+    k = min(k, c)
+    n_tiles = -(-c // tile)
+    if k * tile >= c or n_tiles < k:
+        return mips_topk(corpus, query, k)
+
+    # pad corpus so both the chunk scan and the tile reshape are static
+    chunk = min(chunk, n_tiles * tile)
+    chunk = -(-chunk // tile) * tile
+    pad = (-c) % chunk if c > chunk else (n_tiles * tile - c)
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    c_pad = corpus_p.shape[0]
+    n_tiles_pad = c_pad // tile
+
+    def topk_block(q):  # [qb, DI] -> (idx, scores, emb) for one query block
+        qb = q.shape[0]
+
+        # -- pass 1: tile maxes, chunked so peak memory is [qb, chunk] ------
+        n_chunks = c_pad // chunk
+        chunks = corpus_p.reshape(n_chunks, chunk, di)
+
+        def body(_, inp):
+            chunk_rows, chunk_no = inp
+            s = jnp.dot(q, chunk_rows.T, preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + chunk_no * chunk < c, s, -jnp.inf)
+            return None, jnp.max(s.reshape(qb, chunk // tile, tile), axis=-1)
+
+        _, m = jax.lax.scan(body, None, (chunks, jnp.arange(n_chunks)))
+        m = jnp.moveaxis(m, 0, 1).reshape(qb, n_tiles_pad)  # [qb, C/tile]
+
+        # -- pass 2: top-k tiles ------------------------------------------
+        _, tile_idx = jax.lax.top_k(m, k)  # [qb, k]
+
+        # -- pass 3: rescore candidates -----------------------------------
+        corpus_tiles = corpus_p.reshape(n_tiles_pad, tile, di)
+        cand = jnp.take(corpus_tiles, tile_idx, axis=0)  # [qb, k, tile, DI]
+        cand_scores = jnp.einsum(
+            "bktd,bd->bkt", cand, q, preferred_element_type=jnp.float32
+        )
+        cand_gidx = tile_idx[:, :, None] * tile + jnp.arange(tile)[None, None, :]
+        cand_scores = jnp.where(cand_gidx < c, cand_scores, -jnp.inf)
+        cand_scores = cand_scores.reshape(qb, k * tile)
+        cand_gidx = cand_gidx.reshape(qb, k * tile)
+
+        top_scores, sel = jax.lax.top_k(cand_scores, k)
+        top_idx = jnp.take_along_axis(cand_gidx, sel, axis=1)
+        cand_emb = cand.reshape(qb, k * tile, di)
+        top_emb = jnp.take_along_axis(cand_emb, sel[:, :, None], axis=1)
+        return top_idx, top_scores, top_emb
+
+    if b <= query_block:
+        return topk_block(query)
+    # block the queries to bound the pass-3 gather ([qb, k*tile, DI])
+    qpad = (-b) % query_block
+    q_all = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
+    nq = q_all.shape[0] // query_block
+    _, outs = jax.lax.scan(
+        lambda _, q: (None, topk_block(q)),
+        None,
+        q_all.reshape(nq, query_block, di),
+    )
+    idx, scores, emb = (x.reshape(-1, *x.shape[2:])[:b] for x in outs)
+    return idx, scores, emb
+
+
+def mips_topk_exact(
+    corpus: jnp.ndarray, query: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The fast exact path: Pallas tile-max pipeline (ops.pallas.mips_topk),
+    bit-exact vs ``lax.top_k`` and ~10x faster at 1M x 64 / k=100 on v5e
+    (BASELINE.md).  Falls back to the dense scan for corpora small enough
+    that pruning can't help (k*tile >= C)."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+
+    return mips_topk_exact_pallas(corpus, query, k)
 
 
 def mips_topk_approx(

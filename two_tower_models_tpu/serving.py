@@ -27,17 +27,47 @@ from two_tower_models_tpu.retrieval.mips import refresh_corpus
 
 
 class RetrievalEngine:
-    """Frozen (params, corpus) + one compiled query function."""
+    """Frozen (params, corpus) + one compiled query function.
 
-    def __init__(self, params, cfg: ModelConfig, corpus: jnp.ndarray):
+    With ``mesh`` set, the corpus is row-sharded over EVERY mesh device and
+    queries run through the sharded scan + exact merge
+    (``parallel.retrieval.make_sharded_retrieval_fn``): corpora larger than
+    one chip's HBM serve directly, and each chip scans only C/n rows.
+    ``valid_count`` marks the real (un-padded) corpus rows; defaults to the
+    full corpus length.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        corpus: jnp.ndarray,
+        mesh=None,
+        valid_count: int | None = None,
+    ):
         self._params = params
         self._cfg = cfg
         self._corpus = corpus
+        self._mesh = mesh
+        self._valid_count = int(
+            corpus.shape[0] if valid_count is None else valid_count
+        )
 
-        def _query(params, corpus, user_id, user_features, user_history):
-            return retrieve(params, cfg, corpus, user_id, user_features, user_history)
+        if mesh is None:
+            def _query(params, corpus, user_id, user_features, user_history):
+                return retrieve(
+                    params, cfg, corpus, user_id, user_features, user_history
+                )
 
-        self._query = jax.jit(_query)
+            self._query = jax.jit(_query)
+        else:
+            from two_tower_models_tpu.parallel.retrieval import (
+                make_sharded_retrieval_fn,
+            )
+
+            fn = make_sharded_retrieval_fn(cfg, mesh)
+            vc = self._valid_count
+            self._query = lambda p, c, uid, uf, uh: fn(p, c, uid, uf, uh, vc)
 
     @classmethod
     def from_params(
@@ -47,8 +77,18 @@ class RetrievalEngine:
         catalog_ids: jnp.ndarray,
         catalog_features: jnp.ndarray,
         embed_batch_size: int = 4096,
+        mesh=None,
     ) -> "RetrievalEngine":
         """Build the corpus from the trained item tower, then serve it."""
+        if mesh is not None:
+            from two_tower_models_tpu.parallel.retrieval import (
+                make_sharded_refresh_fn,
+                pad_catalog,
+            )
+
+            ids, feats, valid_c = pad_catalog(catalog_ids, catalog_features, mesh)
+            corpus = make_sharded_refresh_fn(cfg, mesh)(params, ids, feats)
+            return cls(params, cfg, corpus, mesh=mesh, valid_count=valid_c)
         corpus = refresh_corpus(
             params, cfg, catalog_ids, catalog_features, batch_size=embed_batch_size
         )
@@ -91,9 +131,26 @@ class RetrievalEngine:
         either reference swaps: a query racing the refresh sees either the
         fully-old or fully-new (params, corpus) pair, never new user
         embeddings scored against an old-space corpus."""
-        corpus = refresh_corpus(
-            params, self._cfg, catalog_ids, catalog_features,
-            batch_size=embed_batch_size,
-        )
+        if self._mesh is not None:
+            from two_tower_models_tpu.parallel.retrieval import (
+                make_sharded_refresh_fn,
+                pad_catalog,
+            )
+
+            ids, feats, valid_c = pad_catalog(
+                catalog_ids, catalog_features, self._mesh
+            )
+            corpus = make_sharded_refresh_fn(self._cfg, self._mesh)(
+                params, ids, feats
+            )
+            assert valid_c == self._valid_count, (
+                "catalog size changed across refresh; rebuild the engine "
+                "(the jitted query closes over valid_count)"
+            )
+        else:
+            corpus = refresh_corpus(
+                params, self._cfg, catalog_ids, catalog_features,
+                batch_size=embed_batch_size,
+            )
         self._params = params
         self._corpus = corpus

@@ -70,6 +70,7 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
     state = create_train_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
 
     mesh_cfg = exp.mesh
+    mesh = None
     if mesh_cfg.data * mesh_cfg.model > 1:
         if train_cfg.fused_adam:
             raise ValueError(
@@ -141,18 +142,52 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         num_params=sum(p.size for p in jax.tree_util.tree_leaves(state.params)),
     )
 
-    def eval_recall(params):
-        """Refresh the corpus from the current item tower, then recall@k on a
-        held-out sample (the reference cannot do this at all: its corpus is
-        frozen random noise, SURVEY §2.4)."""
-        corpus = refresh_corpus(
-            params, model_cfg, data.catalog_ids, data.catalog_features
+    if mesh is not None:
+        # Mesh-aware eval (VERDICT r1 #2): the corpus re-embeds DATA-parallel
+        # and lands row-sharded over every device; top-k runs shard-local with
+        # an exact candidate merge — the full corpus / [B, C] score matrix
+        # never materializes on one chip.
+        from two_tower_models_tpu.parallel.retrieval import (
+            make_sharded_recall_fn,
+            make_sharded_refresh_fn,
+            pad_catalog,
         )
-        eval_key = jax.random.key(data_cfg.seed + 100)
-        eval_idx = jax.random.permutation(eval_key, data.num_samples)[
-            : min(1024, data.num_samples)
-        ]
-        return corpus, float(recall_fn(params, corpus, gather_batch(data, eval_idx)))
+
+        pad_ids, pad_feats, valid_c = pad_catalog(
+            data.catalog_ids, data.catalog_features, mesh
+        )
+        sharded_refresh = make_sharded_refresh_fn(model_cfg, mesh)
+        sharded_recall = make_sharded_recall_fn(
+            model_cfg, mesh, train_cfg.eval_top_k
+        )
+        n_eval = max(
+            mesh_cfg.data,
+            min(1024, data.num_samples) // mesh_cfg.data * mesh_cfg.data,
+        )
+
+        def eval_recall(params):
+            corpus = sharded_refresh(params, pad_ids, pad_feats)
+            eval_key = jax.random.key(data_cfg.seed + 100)
+            eval_idx = jax.random.permutation(eval_key, data.num_samples)[:n_eval]
+            batch = gather_batch(data, eval_idx)
+            return corpus, float(sharded_recall(params, corpus, batch, valid_c))
+
+    else:
+
+        def eval_recall(params):
+            """Refresh the corpus from the current item tower, then recall@k
+            on a held-out sample (the reference cannot do this at all: its
+            corpus is frozen random noise, SURVEY §2.4)."""
+            corpus = refresh_corpus(
+                params, model_cfg, data.catalog_ids, data.catalog_features
+            )
+            eval_key = jax.random.key(data_cfg.seed + 100)
+            eval_idx = jax.random.permutation(eval_key, data.num_samples)[
+                : min(1024, data.num_samples)
+            ]
+            return corpus, float(
+                recall_fn(params, corpus, gather_batch(data, eval_idx))
+            )
 
     # Resumable data-iterator state (SURVEY §5): the batch schedule is a pure
     # function of (seed, epoch), so a restored step count reconstructs the
