@@ -28,10 +28,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
     from two_tower_models_tpu.retrieval.mips import (
         chunked_mips_topk,
         mips_topk,
         mips_topk_approx,
+        mips_topk_exact_tilemax,
         mips_topk_segmented,
     )
 
@@ -66,6 +68,8 @@ def main():
     results = {}
     for name, fn in {
         "dense": lambda c, q: mips_topk(c, q, args.k),
+        "tilemax_xla": lambda c, q: mips_topk_exact_tilemax(c, q, args.k),
+        "tilemax_pallas": lambda c, q: mips_topk_exact_pallas(c, q, args.k),
         "segmented64": lambda c, q: mips_topk_segmented(c, q, args.k, 64),
         "segmented256": lambda c, q: mips_topk_segmented(c, q, args.k, 256),
         "approx95": lambda c, q: mips_topk_approx(c, q, args.k, 0.95),

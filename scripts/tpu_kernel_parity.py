@@ -198,6 +198,23 @@ def main():
         1e-5,
     )
 
+    # ---- exact MIPS top-k (tile-max Pallas pipeline) ---------------------
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+    from two_tower_models_tpu.retrieval.mips import mips_topk
+
+    mc = 200_000 if on_tpu else 30_000
+    m_corpus = jax.random.normal(jax.random.key(11), (mc, 64), jnp.bfloat16)
+    m_query = jax.random.normal(jax.random.key(12), (128, 64), jnp.bfloat16)
+    ti, ts, _ = jax.jit(lambda c, q: mips_topk_exact_pallas(c, q, 100))(
+        m_corpus, m_query
+    )
+    ri, rs, _ = jax.jit(lambda c, q: mips_topk(c, q, 100))(m_corpus, m_query)
+    match = float(np.mean(np.asarray(ti) == np.asarray(ri)))
+    status = "ok" if match == 1.0 else "FAIL"
+    print(f"{status:4s} mips topk exact indices: match {match:.6f} (want 1.0)")
+    ok &= match == 1.0
+    ok &= check("mips topk exact scores", ts, rs, 1e-6)
+
     # ---- fused adam -------------------------------------------------------
     import optax
 

@@ -128,6 +128,36 @@ def test_chunked_topk_nondivisible_chunk():
     np.testing.assert_array_equal(np.asarray(idx_c), np.asarray(idx_r))
 
 
+@pytest.mark.parametrize("c,b,k,tile", [(30000, 16, 100, 128), (5000, 17, 11, 64), (999, 8, 50, 128)])
+def test_exact_tilemax_matches_dense(c, b, k, tile):
+    """Tile-max pruning (pure XLA) is bit-exact vs lax.top_k, including
+    non-divisible corpus sizes and the small-corpus fallback."""
+    from two_tower_models_tpu.retrieval.mips import mips_topk_exact_tilemax
+
+    corpus = mips_init(jax.random.key(20), c, DI)
+    query = jax.random.normal(jax.random.key(21), (b, DI))
+    ti, ts, te = mips_topk_exact_tilemax(corpus, query, k, tile=tile, chunk=4096)
+    ri, rs, re = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(te), np.asarray(re), rtol=1e-6)
+
+
+@pytest.mark.parametrize("c,b,k,tile", [(30000, 16, 100, 128), (5000, 17, 11, 64)])
+def test_exact_pallas_matches_dense(c, b, k, tile):
+    """The Pallas tile-max pipeline (interpret mode here; Mosaic on TPU —
+    scripts/tpu_kernel_parity.py) is bit-exact vs lax.top_k."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+
+    corpus = mips_init(jax.random.key(22), c, DI)
+    query = jax.random.normal(jax.random.key(23), (b, DI))
+    ti, ts, te = mips_topk_exact_pallas(corpus, query, k, tile=tile)
+    ri, rs, re = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(te), np.asarray(re), rtol=1e-6)
+
+
 def test_refresh_corpus_matches_item_tower():
     cfg = ModelConfig(
         item_id_hash_size=64,

@@ -1,0 +1,243 @@
+"""Pallas kernels for exact tile-max MIPS top-k (retrieval.mips.
+mips_topk_exact_tilemax is the algorithm; these replace its two
+memory-bound passes).
+
+Why kernels: measured on v5e at C=1M x 64, B=1024, k=100 (BASELINE.md),
+  * pass 1 in XLA spills the [B, chunk] score matrix to HBM every chunk
+    (~4 GB of f32 traffic for a 128 MB corpus) — 5.2 ms;
+  * pass 3 in XLA lowers the candidate-tile gather pathologically
+    (37 ms execute, minutes to compile) and the [B,k,TILE,D] rescore
+    einsum as per-batch matvecs (~25 ms).
+
+``tile_max_scores``: one fused matmul + per-tile max per (query-block,
+corpus-chunk) grid step; scores live only in VMEM.  The kernel computes the
+TRANSPOSED [chunk, QB] score block so the tile reduction splits the leading
+(sublane) axis — no in-kernel relayout — and the [NT, B] output transposes
+once outside (32 MB, one XLA pass).
+
+``gather_rescore``: grid over query groups of 8; each sub-query's k selected
+corpus tiles stream in via scalar-prefetched dynamic-offset DMAs (ring of
+in-flight copies, double-buffered across sub-queries), then ONE
+[1, D] x [k*TILE, D]^T contraction scores all candidates — no [B,k,TILE,D]
+tensor ever exists.  DMA'd rows must be 128-lane aligned (Mosaic), so the
+caller passes a corpus whose width is padded to a multiple of 128; the
+zero-padded query columns contribute nothing to the dot.
+
+The reference's corresponding surface is the brute-force
+``torch.topk(query @ corpus.T)`` (baseline_mips_module.py:57-61).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from two_tower_models_tpu.ops.pallas.fused_softmax import _interpret
+
+_NEG_INF = float("-inf")
+_QG = 8  # queries per gather_rescore program (f32 sublane granularity)
+_RING = 8  # in-flight tile DMAs per sub-query
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: fused scores + per-tile max
+# ---------------------------------------------------------------------------
+
+
+def _tilemax_kernel(q_ref, c_ref, m_ref, *, tile: int, chunk: int, valid: int):
+    ci = pl.program_id(1)
+    qb = q_ref.shape[0]
+    s_t = jax.lax.dot_general(
+        c_ref[...], q_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [CHUNK, QB] — transposed so the tile axis is the leading one
+    row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + ci * chunk
+    s_t = jnp.where(row < valid, s_t, _NEG_INF)
+    m_ref[...] = jnp.max(s_t.reshape(chunk // tile, tile, qb), axis=1)
+
+
+def tile_max_scores(
+    query: jnp.ndarray,  # [B, D] — bf16 recommended
+    corpus_p: jnp.ndarray,  # [C_pad, D], C_pad % chunk == 0
+    tile: int,
+    valid_count: int,
+    chunk: int = 2048,
+    query_block: int = 512,
+) -> jnp.ndarray:
+    """m[b, t] = max over the t-th corpus tile of <query_b, corpus_row> with
+    rows >= valid_count masked to -inf.  Returns [B, C_pad // tile] f32."""
+    b, d = query.shape
+    c_pad = corpus_p.shape[0]
+    assert c_pad % chunk == 0 and chunk % tile == 0
+    qb = min(query_block, b)
+    assert b % qb == 0
+    n_tiles = c_pad // tile
+
+    m_t = pl.pallas_call(
+        functools.partial(
+            _tilemax_kernel, tile=tile, chunk=chunk, valid=valid_count
+        ),
+        grid=(b // qb, c_pad // chunk),
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda qi, ci: (qi, 0)),
+            pl.BlockSpec((chunk, d), lambda qi, ci: (ci, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk // tile, qb), lambda qi, ci: (ci, qi)
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(query, corpus_p)
+    return m_t.T
+
+
+# ---------------------------------------------------------------------------
+# Pass 3: gather selected tiles + rescore
+# ---------------------------------------------------------------------------
+
+
+def _gather_rescore_kernel(
+    tidx_ref,  # SMEM [B, k] int32 (scalar prefetch): selected tile per query
+    corpus_ref,  # HBM [C_pad, DP] — lane-aligned corpus rows
+    q_ref,  # VMEM [QG, DP] — this program's queries
+    out_ref,  # VMEM [QG, k*TILE] f32 — candidate scores
+    cand_ref,  # VMEM [2, k*TILE, DP] scratch — gathered tiles (dbl-buffered)
+    sems,  # DMA semaphores [2, RING]
+    *,
+    k: int,
+    tile: int,
+):
+    g = pl.program_id(0)
+
+    for i in range(_QG):  # static unroll: one sub-query at a time
+        buf = i % 2
+        qi = g * _QG + i
+
+        def dma(j):
+            return pltpu.make_async_copy(
+                corpus_ref.at[pl.ds(tidx_ref[qi, j] * tile, tile), :],
+                cand_ref.at[buf, pl.ds(j * tile, tile), :],
+                sems.at[buf, j % _RING],
+            )
+
+        def warm(j, _):
+            dma(j).start()
+            return 0
+
+        jax.lax.fori_loop(0, min(_RING, k), warm, 0)
+
+        def steady(j, _):
+            dma(j).wait()
+
+            @pl.when(j + _RING < k)
+            def _():
+                dma(j + _RING).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, k, steady, 0)
+
+        out_ref[i : i + 1, :] = jax.lax.dot_general(
+            q_ref[i : i + 1, :], cand_ref[buf],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, k*TILE]
+
+
+def gather_rescore(
+    query: jnp.ndarray,  # [B, DP] — B % 8 == 0, DP % 128 == 0
+    corpus_p: jnp.ndarray,  # [C_pad, DP] — lane-aligned width
+    tile_idx: jnp.ndarray,  # [B, k] int32
+    tile: int,
+) -> jnp.ndarray:
+    """cand_scores[b, j*TILE + c] = <query_b, corpus[tile_idx[b,j]*TILE + c]>.
+
+    Returns [B, k*TILE] f32.  Out-of-range (padded-corpus) candidates are the
+    caller's job to mask — they carry real dot products of zero pad rows."""
+    b, dp = query.shape
+    assert b % _QG == 0 and dp % 128 == 0, (b, dp)
+    k = tile_idx.shape[1]
+
+    return pl.pallas_call(
+        functools.partial(_gather_rescore_kernel, k=k, tile=tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // _QG,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # corpus (HBM)
+                pl.BlockSpec((_QG, dp), lambda g, tidx: (g, 0)),
+            ],
+            out_specs=pl.BlockSpec((_QG, k * tile), lambda g, tidx: (g, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, k * tile, dp), query.dtype),
+                pltpu.SemaphoreType.DMA((2, _RING)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, k * tile), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(tile_idx.astype(jnp.int32), corpus_p, query)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def mips_topk_exact_pallas(
+    corpus: jnp.ndarray,  # [C, D]
+    query: jnp.ndarray,  # [B, D]
+    k: int,
+    tile: int = 128,
+    chunk: int = 2048,
+):
+    """Exact MIPS top-k: Pallas passes 1+3 around XLA's narrow selections.
+
+    Same contract and exactness argument as
+    ``retrieval.mips.mips_topk_exact_tilemax`` (see its docstring); returns
+    (indices [B,k], scores [B,k], embeddings [B,k,D]).
+    """
+    from two_tower_models_tpu.retrieval.mips import mips_topk
+
+    c, d = corpus.shape
+    b = query.shape[0]
+    k = min(k, c)
+    n_tiles = -(-c // tile)
+    if k * tile >= c or n_tiles < k:
+        return mips_topk(corpus, query, k)
+
+    pad = -(-c // chunk) * chunk - c
+    corpus_pc = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    qpad = (-b) % _QG
+    query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
+    bp = query_p.shape[0]
+
+    m = tile_max_scores(query_p, corpus_pc, tile, c, chunk=chunk)  # [B, NT]
+    _, tile_idx = jax.lax.top_k(m, k)  # [B, k]
+
+    # lane-align the width for the gather kernel's row DMAs
+    dpad = (-d) % 128
+    corpus_dp = jnp.pad(corpus_pc, ((0, 0), (0, dpad))) if dpad else corpus_pc
+    query_dp = jnp.pad(query_p, ((0, 0), (0, dpad))) if dpad else query_p
+    cand_scores = gather_rescore(query_dp, corpus_dp, tile_idx, tile)
+    cand_gidx = (
+        tile_idx[:, :, None] * tile + jnp.arange(tile)[None, None, :]
+    ).reshape(bp, k * tile)
+    cand_scores = jnp.where(cand_gidx < c, cand_scores, _NEG_INF)
+
+    top_scores, sel = jax.lax.top_k(cand_scores, k)
+    top_idx = jnp.take_along_axis(cand_gidx, sel, axis=1)
+    if qpad:
+        top_scores, top_idx = top_scores[:b], top_idx[:b]
+    top_emb = jnp.take(corpus, top_idx, axis=0)
+    return top_idx, top_scores, top_emb
