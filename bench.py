@@ -37,9 +37,10 @@ def _bench_cfg():
         history_encoder=HistoryEncoderConfig(fused_encoder=True),
         debias=Debias.BOTH,
         compute_dtype="bfloat16",
-        # at B=4096 fused vs dense loss is a wash end-to-end (XLA fuses the
+        # At B=4096 fused vs dense loss is a wash end-to-end (XLA fuses the
         # dense path well in-context); the kernel's HBM advantage appears at
-        # larger global batches.  On so --no-fused-loss actually toggles.
+        # larger global batches (36% at B=16384 — BASELINE.md).  Kept on so
+        # --no-fused-loss actually toggles something.
         fused_loss=True,
     )
 

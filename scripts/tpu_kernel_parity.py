@@ -198,6 +198,48 @@ def main():
         1e-5,
     )
 
+    # ---- blockwise attention: flash backward -----------------------------
+    from two_tower_models_tpu.ops.pallas.history_attention import (
+        attention_reference,
+        blockwise_self_attention,
+    )
+
+    ks = jax.random.split(jax.random.key(13), 3)
+    bq = jax.random.normal(ks[0], (4, 512, 16))
+    bk = jax.random.normal(ks[1], (4, 512, 16))
+    bv = jax.random.normal(ks[2], (4, 512, 16))
+
+    def loss_blk(q, k, v):
+        return jnp.sum(blockwise_self_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g_blk = jax.jit(jax.grad(loss_blk, argnums=(0, 1, 2)))(bq, bk, bv)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(bq, bk, bv)
+    for name, a, b in zip(("dq", "dk", "dv"), g_blk, g_ref):
+        ok &= check(f"blockwise flash bwd {name}", a, b, tol_f32)
+
+    if on_tpu:
+        # O(H) memory claim: at H=4096 the dense backward holds [N, H, H]
+        # probability tensors; the flash backward's temps stay O(H).
+        hq = jax.random.normal(ks[0], (4, 4096, 16))
+        mem_blk = (
+            jax.jit(jax.grad(loss_blk, argnums=(0, 1, 2)))
+            .lower(hq, hq, hq).compile().memory_analysis()
+        )
+        mem_ref = (
+            jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))
+            .lower(hq, hq, hq).compile().memory_analysis()
+        )
+        t_blk, t_ref = mem_blk.temp_size_in_bytes, mem_ref.temp_size_in_bytes
+        status = "ok" if t_blk < t_ref / 4 else "FAIL"
+        print(
+            f"{status:4s} blockwise bwd O(H) memory: temp {t_blk/2**20:.1f} MiB"
+            f" vs dense {t_ref/2**20:.1f} MiB at H=4096"
+        )
+        ok &= t_blk < t_ref / 4
+
     # ---- exact MIPS top-k (tile-max Pallas pipeline) ---------------------
     from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
     from two_tower_models_tpu.retrieval.mips import mips_topk

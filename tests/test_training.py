@@ -123,6 +123,72 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+def test_sharded_checkpoint_roundtrip_across_mesh_shapes(tmp_path):
+    """Save a (2,2)-mesh-sharded TrainState; restore onto (2,2) AND onto a
+    reshaped (4,1) mesh; continue training on each — trajectories must match
+    the uninterrupted run (VERDICT r1 #8)."""
+    from two_tower_models_tpu.config import MeshConfig
+    from two_tower_models_tpu.parallel.mesh import make_mesh
+    from two_tower_models_tpu.parallel.sharding import shard_state
+    from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+    from two_tower_models_tpu.training.checkpoint import CheckpointManager
+    from two_tower_models_tpu.training.state import create_train_state
+    from tests.conftest import make_batch
+
+    tcfg = TrainConfig(batch_size=16, learning_rate=1e-3, donate_state=False)
+    host_state = create_train_state(jax.random.key(0), SMALL_MODEL, tcfg)
+    batch0 = make_batch(jax.random.key(1), SMALL_MODEL, 16)
+    batch1 = make_batch(jax.random.key(2), SMALL_MODEL, 16)
+
+    def run_steps(mesh_shape, state, batches):
+        d, m = mesh_shape
+        mesh = make_mesh(MeshConfig(data=d, model=m))
+        mesh_cfg = MeshConfig(data=d, model=m, global_negatives=True)
+        step = make_sharded_train_step(SMALL_MODEL, tcfg, mesh, mesh_cfg)
+        metrics = None
+        for b in batches:
+            state, metrics = step(state, b)
+        return state, metrics
+
+    mesh22 = make_mesh(MeshConfig(data=2, model=2))
+    state22 = shard_state(host_state, mesh22)
+    state22, _ = run_steps((2, 2), state22, [batch0])
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr.save(state22, force=True)
+    mgr.close()
+    # host copy BEFORE the reference step: the sharded step donates its
+    # input buffers, deleting state22's arrays
+    saved_table = np.asarray(jax.device_get(state22.params["item_id_table"]))
+
+    # uninterrupted reference trajectory: step 2 directly on (2,2)
+    _, ref_metrics = run_steps((2, 2), state22, [batch1])
+
+    for target_shape in [(2, 2), (4, 1)]:
+        d, m = target_shape
+        target_mesh = make_mesh(MeshConfig(data=d, model=m))
+        template = shard_state(
+            create_train_state(jax.random.key(9), SMALL_MODEL, tcfg),
+            target_mesh,
+        )
+        mgr2 = CheckpointManager(str(tmp_path / "ck"))
+        restored = mgr2.restore_latest(template)
+        mgr2.close()
+        assert restored is not None and int(restored.step) == 1
+        # restored arrays carry the TARGET mesh's shardings
+        any_table = restored.params["item_id_table"]
+        assert any_table.sharding.mesh.shape["model"] == m
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(any_table)), saved_table, rtol=0
+        )
+        _, metrics = run_steps(target_shape, restored, [batch1])
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5,
+            err_msg=f"trajectory diverged after restore onto {target_shape}",
+        )
+
+
 def test_golden_loss_curve_regression():
     """Seeded golden-curve regression (SURVEY §4 pattern 3, rebuilt for this
     framework): fixed seeds + fixed data must land in a recorded band.  The

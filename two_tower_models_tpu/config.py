@@ -47,11 +47,15 @@ class HistoryEncoderConfig:
     num_heads: int = 4
     num_layers: int = 3
     use_positional_encoding: bool = True
-    # Blockwise Pallas attention (ops.pallas.history_attention): O(H) memory,
-    # the seam for ring/context parallelism.  A MEMORY kernel, not a speed
-    # kernel: measured slower than XLA's dense attention up through H=512
-    # (hd=16 minor-dim shapes are MXU-hostile either way); reach for it only
-    # when the [H, H] score matrix can't fit.  Off by default.
+    # Blockwise Pallas attention (ops.pallas.history_attention): O(H) memory
+    # in BOTH directions (flash forward + two-pass flash backward from saved
+    # lse; verified at H=4096: 0 MiB device temp vs 512 MiB for the dense
+    # backward), the seam for ring/context parallelism.  A MEMORY kernel,
+    # not a speed kernel: measured slower than XLA's dense attention up
+    # through H=512 (hd=16 minor-dim shapes are MXU-hostile either way);
+    # reach for it when the [H, H] probability tensors don't fit — under
+    # grad that crossover is where N*H*H*4 bytes approaches HBM (e.g.
+    # H >= ~4k at N=4k heads).  Off by default.
     blockwise_kernel: bool = False
     # Fully-fused Pallas layer (ops.pallas.fused_mha): whole QKV+MHA+out-proj
     # per batch tile in VMEM.  ~3x over XLA's head-split lowering at
@@ -239,11 +243,15 @@ class TrainConfig:
     num_epochs: int = 2
     learning_rate: float = 1e-3
     seed: int = 42
+    # NOTE on the *_every gates: with steps_per_dispatch=K > 1 they fire at
+    # DISPATCH boundaries — the first dispatch whose covered step range
+    # crosses a multiple of N (e.g. K=4, checkpoint_every=10 saves at step
+    # 12).  Set N % K == 0 for exact-step gating.
     log_every: int = 10
-    eval_every: int = 0  # steps; 0 = only at epoch end
+    eval_every: int = 0  # steps (dispatch-granular, see above); 0 = epoch end only
     eval_top_k: int = 100
     checkpoint_dir: Optional[str] = None
-    checkpoint_every: int = 0  # steps; 0 = disabled
+    checkpoint_every: int = 0  # steps (dispatch-granular, see above); 0 = disabled
     profile_dir: Optional[str] = None
     donate_state: bool = True
     # K optimizer steps per jitted dispatch (lax.scan): the scan carry

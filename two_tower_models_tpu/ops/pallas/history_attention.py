@@ -38,7 +38,7 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, h_true, kv_tile, scale):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, h_true, kv_tile, scale):
     """One program = one (batch*head, q-tile).  Loops kv tiles online."""
     q = q_ref[0]  # [Tq, Dh']
     tq, dh = q.shape
@@ -63,8 +63,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, h_true, kv_tile, scale):
     m0 = jnp.full((tq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((tq, 1), jnp.float32)
     acc0 = jnp.zeros((tq, dh), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # per-row log-sum-exp, saved for the flash backward ([1, Tq] row layout
+    # so the backward's transposed-score kernels consume it without a
+    # per-tile relayout)
+    lse_ref[0] = (m + jnp.log(l)).reshape(1, tq)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -76,9 +80,24 @@ def blockwise_self_attention(
     kv_tile: int = 128,
 ) -> jnp.ndarray:
     """Unmasked softmax(q k^T / sqrt(Dh)) v per leading index; O(H) memory in
-    the forward.  Backward currently recomputes densely (O(H^2) there only) —
-    the flash backward kernel is the planned follow-up."""
-    return _blockwise_fwd_impl(q, k, v, q_tile, kv_tile)
+    BOTH directions: the forward saves only per-row LSE, and the flash
+    backward recomputes probabilities tile-by-tile from it — the [H, H]
+    score matrix exists in neither pass (standard two-pass flash bwd)."""
+    out, _ = _blockwise_fwd_impl(q, k, v, q_tile, kv_tile)
+    return out
+
+
+def _pad_shapes(h_true, dh_true, q_tile, kv_tile):
+    dh = _round_up(dh_true, 128)
+    q_tile = min(q_tile, _round_up(h_true, 8))
+    return dh, q_tile, _round_up(h_true, q_tile), _round_up(h_true, kv_tile)
+
+
+def _pad3(x, h_true, hp, dh):
+    return jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (0, hp - h_true), (0, dh - x.shape[-1])),
+    )
 
 
 def _blockwise_fwd_impl(
@@ -87,23 +106,16 @@ def _blockwise_fwd_impl(
     v: jnp.ndarray,
     q_tile: int = 128,
     kv_tile: int = 128,
-) -> jnp.ndarray:
+):
+    """Returns (out [N, H, Dh], lse [N, 1, hp_q] f32)."""
     n, h_true, dh_true = q.shape
     scale = 1.0 / (dh_true**0.5)
-    dh = _round_up(dh_true, 128)
-    q_tile = min(q_tile, _round_up(h_true, 8))
-    hp_q = _round_up(h_true, q_tile)
-    hp_kv = _round_up(h_true, kv_tile)
+    dh, q_tile, hp_q, hp_kv = _pad_shapes(h_true, dh_true, q_tile, kv_tile)
 
-    def pad(x, hp):
-        return jnp.pad(
-            x.astype(jnp.float32),
-            ((0, 0), (0, hp - h_true), (0, dh - dh_true)),
-        )
-
-    qp, kp, vp = pad(q, hp_q), pad(k, hp_kv), pad(v, hp_kv)
+    qp = _pad3(q, h_true, hp_q, dh)
+    kp, vp = _pad3(k, h_true, hp_kv, dh), _pad3(v, h_true, hp_kv, dh)
     grid = (n, hp_q // q_tile)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _attn_kernel, h_true=h_true, kv_tile=kv_tile, scale=scale
         ),
@@ -113,10 +125,14 @@ def _blockwise_fwd_impl(
             pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, hp_q, dh), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hp_q, dh), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, hp_q), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
@@ -127,17 +143,141 @@ def _blockwise_fwd_impl(
         ),
         interpret=_interpret(),
     )(qp, kp, vp)
-    return out[:, :h_true, :dh_true].astype(q.dtype)
+    return out[:, :h_true, :dh_true].astype(q.dtype), lse
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, h_true, kv_tile, scale,
+):
+    """One program = one (n, q-tile); loops kv tiles.  Scores are computed
+    TRANSPOSED ([Tkv, Tq]) so lse/delta broadcast from their [1, Tq] row
+    layout — no relayouts inside the loop."""
+    q = q_ref[0]  # [Tq, Dh']
+    do = do_ref[0]  # [Tq, Dh']
+    lse = lse_ref[0]  # [1, Tq]
+    delta = delta_ref[0]  # [1, Tq]
+    tq, dh = q.shape
+    n_kv = k_ref.shape[1] // kv_tile
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * kv_tile, kv_tile), :]  # [Tkv, Dh']
+        v = v_ref[0, pl.ds(j * kv_tile, kv_tile), :]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Tkv, Tq]
+        row = j * kv_tile + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        s_t = jnp.where(row < h_true, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lse)  # [Tkv, Tq]
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Tkv, Tq]
+        ds_t = p_t * (dp_t - delta)
+        # dq[r, d] = sum_c ds_t[c, r] * k[c, d]
+        return acc + jax.lax.dot_general(
+            ds_t, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc0 = jnp.zeros((tq, dh), jnp.float32)
+    dq_ref[0] = jax.lax.fori_loop(0, n_kv, body, acc0) * scale
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, h_true, q_tile, scale,
+):
+    """One program = one (n, kv-tile); loops q tiles with the same
+    transposed-score orientation."""
+    k = k_ref[0]  # [Tkv, Dh']
+    v = v_ref[0]
+    tkv, dh = k.shape
+    n_q = q_ref.shape[1] // q_tile
+    kv0 = pl.program_id(1) * tkv
+    row = kv0 + jax.lax.broadcasted_iota(jnp.int32, (tkv, q_tile), 0)
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * q_tile, q_tile), :]  # [Tq, Dh']
+        do = do_ref[0, pl.ds(i * q_tile, q_tile), :]
+        lse = lse_ref[0, :, pl.ds(i * q_tile, q_tile)]  # [1, Tq]
+        delta = delta_ref[0, :, pl.ds(i * q_tile, q_tile)]
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [Tkv, Tq]
+        s_t = jnp.where(row < h_true, s_t, _NEG_INF)
+        p_t = jnp.exp(s_t - lse)
+        dv_acc = dv_acc + jnp.dot(p_t, do, preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds_t = p_t * (dp_t - delta)
+        dk_acc = dk_acc + jnp.dot(ds_t, q, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((tkv, dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_q, body, (z, z))
+    dk_ref[0] = dk * scale
+    dv_ref[0] = dv
 
 
 def _blockwise_vjp_fwd(q, k, v, q_tile, kv_tile):
-    return _blockwise_fwd_impl(q, k, v, q_tile, kv_tile), (q, k, v)
+    out, lse = _blockwise_fwd_impl(q, k, v, q_tile, kv_tile)
+    return out, (q, k, v, out, lse)
 
 
 def _blockwise_vjp_bwd(q_tile, kv_tile, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(attention_reference, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    n, h_true, dh_true = q.shape
+    scale = 1.0 / (dh_true**0.5)
+    dh, q_tile, hp_q, hp_kv = _pad_shapes(h_true, dh_true, q_tile, kv_tile)
+
+    qp = _pad3(q, h_true, hp_q, dh)
+    kp, vp = _pad3(k, h_true, hp_kv, dh), _pad3(v, h_true, hp_kv, dh)
+    dop = _pad3(g, h_true, hp_q, dh)
+    # delta[b, r] = sum_d do[b, r, d] * o[b, r, d] — O(H) elementwise+reduce
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [N, H]
+    delta = jnp.pad(delta, ((0, 0), (0, hp_q - h_true)))[:, None, :]  # [N,1,hp_q]
+
+    qspec = pl.BlockSpec((1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    kvspec_full = pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, 1, q_tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, h_true=h_true, kv_tile=kv_tile, scale=scale),
+        grid=(n, hp_q // q_tile),
+        in_specs=[qspec, kvspec_full, kvspec_full, qspec, rowspec, rowspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((n, hp_q, dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, delta)
+
+    kvspec = pl.BlockSpec((1, kv_tile, dh), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
+    qspec_full = pl.BlockSpec((1, hp_q, dh), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    rowspec_full = pl.BlockSpec((1, 1, hp_q), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, h_true=h_true, q_tile=q_tile, scale=scale),
+        grid=(n, hp_kv // kv_tile),
+        in_specs=[qspec_full, kvspec, kvspec, qspec_full, rowspec_full, rowspec_full],
+        out_specs=(kvspec, kvspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hp_kv, dh), jnp.float32),
+            jax.ShapeDtypeStruct((n, hp_kv, dh), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lse, delta)
+
+    def crop(x, dtype):
+        return x[:, :h_true, :dh_true].astype(dtype)
+
+    return crop(dq, q.dtype), crop(dk, k.dtype), crop(dv, v.dtype)
 
 
 blockwise_self_attention.defvjp(_blockwise_vjp_fwd, _blockwise_vjp_bwd)

@@ -172,7 +172,7 @@ def gather_rescore(
             num_scalar_prefetch=1,
             grid=(b // _QG,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # corpus (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # corpus (HBM)
                 pl.BlockSpec((_QG, dp), lambda g, tidx: (g, 0)),
             ],
             out_specs=pl.BlockSpec((_QG, k * tile), lambda g, tidx: (g, 0)),

@@ -130,8 +130,8 @@ def rows_scatter_add(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # sorted ids (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # sorted rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # sorted ids (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # sorted rows (HBM)
             ],
             out_specs=pl.BlockSpec(
                 (tile_v, d), lambda i, starts: (i, 0), memory_space=pltpu.VMEM

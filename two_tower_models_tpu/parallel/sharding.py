@@ -23,7 +23,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from two_tower_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-_TABLE_KEYS = ("user_id_table", "item_id_table", "position_bias_table")
+# Row-sharded over `model`; everything else replicates.  (The position-bias
+# table is NOT here: 100 x 1 — sharding it would cost a collective per lookup
+# to save 400 bytes.)
+_TABLE_KEYS = ("user_id_table", "item_id_table")
 
 
 def param_pspecs(params: Dict) -> Dict:
@@ -31,7 +34,7 @@ def param_pspecs(params: Dict) -> Dict:
 
     def spec_for(path, leaf):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if top in ("user_id_table", "item_id_table"):
+        if top in _TABLE_KEYS:
             return P(MODEL_AXIS, None)
         return P()  # replicated
 
@@ -51,7 +54,7 @@ def state_pspecs(state) -> "TrainStateSpecs":
             p.key if hasattr(p, "key") else str(p) for p in path
         }
         if (
-            names & {"user_id_table", "item_id_table"}
+            names & set(_TABLE_KEYS)
             and getattr(leaf, "ndim", 0) == 2
         ):
             return P(MODEL_AXIS, None)

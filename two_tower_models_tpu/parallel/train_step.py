@@ -308,10 +308,10 @@ def make_gspmd_train_step(
     compiled = {}
 
     def run(state: TrainState, batch: Batch):
+        from two_tower_models_tpu.nn.layers import disable_scatter_kernel
+
         # shardings derive from the state's pytree, known at first call
         if "fn" not in compiled:
-            from two_tower_models_tpu.nn.layers import disable_scatter_kernel
-
             to_sharding = lambda s: NamedSharding(mesh, s)
             state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state))
             batch_sh = Batch(
@@ -323,13 +323,13 @@ def make_gspmd_train_step(
                 out_shardings=(state_sh, None),
                 donate_argnums=(0,),
             )
-            # First call traces the program: the embedding-lookup VJP must
-            # pick its XLA scatter (not the pallas_call) under the SPMD
-            # partitioner — the trace-time switch covers large tables that
-            # the static config guard above can't see.
-            with disable_scatter_kernel():
-                return compiled["fn"](state, batch)
-        return compiled["fn"](state, batch)
+        # The embedding-lookup VJP must pick its XLA scatter (not the
+        # pallas_call) under the SPMD partitioner — the trace-time switch
+        # covers large tables the static config guard above can't see.
+        # Entered on EVERY call (it's a cheap contextvar): the cached jit
+        # retraces on any new batch shape/dtype, not just the first call.
+        with disable_scatter_kernel():
+            return compiled["fn"](state, batch)
 
     return run
 

@@ -50,10 +50,19 @@ class JsonlLogger:
         if self._echo:
             print(line, file=sys.stderr)
         if self._tb is not None:
-            step = int(record.get("step", self._tb_step))
-            self._tb_step = max(self._tb_step, step) + 1
+            # Step-less events reuse the last explicit step (they describe
+            # the state as of that step) rather than advancing a counter past
+            # it; bools are excluded — isinstance(True, int) holds, but a
+            # flag is not a scalar curve.
+            if "step" in record:
+                self._tb_step = int(record["step"])
+            step = self._tb_step
             for k, v in record.items():
-                if k not in ("event", "t", "step") and isinstance(v, (int, float)):
+                if (
+                    k not in ("event", "t", "step")
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                ):
                     self._tb.add_scalar(f"{event}/{k}", v, step)
 
     def log_metrics(self, event: str, metrics: Mapping, **fields):
