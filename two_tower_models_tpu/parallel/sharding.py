@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from two_tower_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -65,11 +66,39 @@ def state_pspecs(state) -> "TrainStateSpecs":
 
 
 def shard_state(state, mesh: Mesh):
-    """Place a host-built TrainState onto the mesh per the layout."""
+    """Place a host-built TrainState onto the mesh per the layout.
+
+    Single-process: a plain resharding device_put.  Multi-process: every
+    host holds the identical host-built state (deterministic init), and
+    each contributes the shards its local devices own via
+    ``make_array_from_callback`` — device_put cannot target non-addressable
+    devices.  Typed PRNG keys go through key_data/wrap_key_data (their
+    extended dtype has no numpy view).
+    """
     specs = state_pspecs(state)
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
-    )
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+        )
+    import numpy as np
+
+    def place(x, s):
+        sharding = NamedSharding(mesh, s)
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            placed = jax.make_array_from_callback(
+                data.shape,
+                NamedSharding(mesh, P(*s, *([None] * (data.ndim - getattr(x, "ndim", 0))))),
+                lambda idx: data[idx],
+            )
+            return jax.random.wrap_key_data(placed, impl=impl)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree_util.tree_map(place, state, specs)
 
 
 def batch_pspec() -> P:
@@ -78,6 +107,7 @@ def batch_pspec() -> P:
 
 def data_pspecs(data) -> object:
     """SyntheticRecData sharding: replicate (datasets here are small); batch
-    slicing shards activations instead.  For large datasets swap to
-    P('data') leading-axis sharding + per-shard index streams."""
+    slicing shards activations instead.  Multi-host runs never ship the
+    dataset through this — each host materializes only its rows of every
+    batch and lifts them to global P('data') arrays (parallel.multihost)."""
     return jax.tree_util.tree_map(lambda _: P(), data)

@@ -102,14 +102,42 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         gather = jax.jit(gather_batch)
         _mesh_step = _make_mesh_step(train_cfg)
 
-        def train_step(s, d, idx):
-            # idx is [B] (single step) or [K, B] (multi-step dispatch);
-            # gather_batch fancy-indexing produces matching batch ranks.
-            return _mesh_step(s, gather(d, idx))
+        if jax.process_count() > 1:
+            # Multi-host: the batch schedule is identical on every host
+            # (pure function of seed), but each host materializes only ITS
+            # rows and lifts them into a global P('data') array — host
+            # memory and host->device transfer stay at 1/n_hosts
+            # (parallel.multihost).
+            from two_tower_models_tpu.parallel.multihost import (
+                global_batch_from_host_local,
+                host_batch_slice,
+            )
+            import numpy as _np
 
-        def _make_single():
-            one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
-            return lambda s, d, idx: one(s, gather(d, idx))
+            def _to_global(d, idx):
+                idx = _np.asarray(idx)
+                local = gather_batch(d, host_batch_slice(idx))
+                return global_batch_from_host_local(
+                    local, mesh, stack_dims=idx.ndim - 1
+                )
+
+            def train_step(s, d, idx):
+                return _mesh_step(s, _to_global(d, idx))
+
+            def _make_single():
+                one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
+                return lambda s, d, idx: one(s, _to_global(d, idx))
+
+        else:
+
+            def train_step(s, d, idx):
+                # idx is [B] (single step) or [K, B] (multi-step dispatch);
+                # gather_batch fancy-indexing produces matching batch ranks.
+                return _mesh_step(s, gather(d, idx))
+
+            def _make_single():
+                one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
+                return lambda s, d, idx: one(s, gather(d, idx))
 
     else:
         train_step = make_train_step(model_cfg, train_cfg)
@@ -156,6 +184,24 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         pad_ids, pad_feats, valid_c = pad_catalog(
             data.catalog_ids, data.catalog_features, mesh
         )
+        if jax.process_count() > 1:
+            # Each host feeds only its catalog rows; the refresh consumes a
+            # P('data')-sharded global array.
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            import numpy as _np
+
+            from two_tower_models_tpu.parallel.mesh import DATA_AXIS as _DA
+
+            _sh = NamedSharding(mesh, _P(_DA))
+            _n, _p = jax.process_count(), jax.process_index()
+            _rows = pad_ids.shape[0] // _n
+            pad_ids = jax.make_array_from_process_local_data(
+                _sh, _np.asarray(pad_ids[_p * _rows : (_p + 1) * _rows])
+            )
+            pad_feats = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, _P(_DA, None)),
+                _np.asarray(pad_feats[_p * _rows : (_p + 1) * _rows]),
+            )
         sharded_refresh = make_sharded_refresh_fn(model_cfg, mesh)
         sharded_recall = make_sharded_recall_fn(
             model_cfg, mesh, train_cfg.eval_top_k
@@ -169,7 +215,17 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
             corpus = sharded_refresh(params, pad_ids, pad_feats)
             eval_key = jax.random.key(data_cfg.seed + 100)
             eval_idx = jax.random.permutation(eval_key, data.num_samples)[:n_eval]
-            batch = gather_batch(data, eval_idx)
+            if jax.process_count() > 1:
+                from two_tower_models_tpu.parallel.multihost import (
+                    global_batch_from_host_local,
+                    host_batch_slice,
+                )
+                import numpy as _np
+
+                local = gather_batch(data, host_batch_slice(_np.asarray(eval_idx)))
+                batch = global_batch_from_host_local(local, mesh)
+            else:
+                batch = gather_batch(data, eval_idx)
             return corpus, float(sharded_recall(params, corpus, batch, valid_c))
 
     else:
