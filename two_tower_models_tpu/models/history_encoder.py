@@ -62,6 +62,32 @@ def history_encoder_apply(
     """Returns [B, 2, DI]: (post-attention newest item, mean-pool)."""
     B, H, D = history_emb.shape
 
+    if cfg.fused_encoder or cfg.fused_kernel or cfg.blockwise_kernel:
+        from two_tower_models_tpu.parallel.islands import island_mesh, no_islands
+
+        mesh = island_mesh()
+        if mesh is not None:
+            # GSPMD path: the encoder kernels are purely batch-parallel, so
+            # the whole apply runs in a shard_map island (params replicated,
+            # batch over `data`); no_islands stops the recursive re-wrap.
+            from jax.sharding import PartitionSpec as P
+
+            from two_tower_models_tpu.parallel.mesh import DATA_AXIS
+
+            pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+
+            def body(p, x):
+                with no_islands():
+                    return history_encoder_apply(p, x, cfg, compute_dtype)
+
+            return jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(pspecs, P(DATA_AXIS, None, None)),
+                out_specs=P(DATA_AXIS, None, None),
+                check_vma=False,
+            )(params, history_emb)
+
     if cfg.fused_encoder:
         # Whole stack (PE + layers + pool) in one Pallas kernel; bf16
         # operands / f32 accumulation when compute_dtype is bf16.

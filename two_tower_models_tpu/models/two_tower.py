@@ -304,11 +304,39 @@ def softmax_retrieval_loss(
     if scores is not None:
         ce = _in_batch_ce(scores)  # [B]
     elif cfg.fused_loss:
-        from two_tower_models_tpu.ops.pallas.fused_softmax import fused_in_batch_ce
+        from two_tower_models_tpu.ops.pallas.fused_softmax import (
+            fused_in_batch_ce,
+            fused_lse,
+        )
+        from two_tower_models_tpu.parallel.islands import island_mesh
 
-        # Embedding dtype flows into the kernel's MXU operands (bf16 under
-        # bf16 compute); all reductions inside accumulate in f32.
-        ce, _ = fused_in_batch_ce(user_embedding, item_embeddings)
+        mesh = island_mesh()
+        if mesh is None:
+            # Embedding dtype flows into the kernel's MXU operands (bf16
+            # under bf16 compute); all reductions inside accumulate in f32.
+            ce, _ = fused_in_batch_ce(user_embedding, item_embeddings)
+        else:
+            # GSPMD path: the kernel runs in a manual shard_map island —
+            # rows data-sharded, items replicated (full negative pool).
+            # The diagonal positive needs the global row offset, so it is
+            # computed OUTSIDE as a rowwise einsum the partitioner splits
+            # on its own.
+            from jax.sharding import PartitionSpec as P
+
+            from two_tower_models_tpu.parallel.mesh import DATA_AXIS
+
+            lse = jax.shard_map(
+                lambda u, i: fused_lse(u, i),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )(user_embedding, item_embeddings)
+            pos = jnp.einsum(
+                "bd,bd->b", user_embedding, item_embeddings,
+                preferred_element_type=jnp.float32,
+            )
+            ce = lse - pos
     else:
         scores_local = jnp.dot(
             user_embedding, item_embeddings.T, preferred_element_type=jnp.float32

@@ -267,25 +267,16 @@ def make_gspmd_train_step(
     single-chip ones by construction (same traced program), so global
     negatives are implicit.
 
-    The Pallas kernels can't be auto-partitioned by GSPMD, so this path
-    requires the jnp loss/encoder (fused_loss off, no fused encoder) —
-    the partitioner handles the dense ops fine.  Parity with the explicit
-    path is tested on a virtual mesh (tests/test_parallel.py).
+    Pallas kernels cannot be auto-partitioned, so kernel call sites run as
+    manual shard_map ISLANDS over this mesh (parallel.islands; activated by
+    the kernel_islands context below) — fused loss and encoder kernels work
+    here too.  ``steps_per_dispatch > 1`` scans K steps per dispatch, same
+    carry-aliasing rationale as the explicit path.  Parity with the
+    single-chip step (loss AND grads) is tested on a virtual mesh
+    (tests/test_parallel.py).
     """
-    if model_cfg.fused_loss or (
-        model_cfg.history_encoder is not None
-        and (
-            model_cfg.history_encoder.fused_kernel
-            or model_cfg.history_encoder.fused_encoder
-            or model_cfg.history_encoder.blockwise_kernel
-        )
-    ):
-        raise ValueError(
-            "the GSPMD path requires the jnp ops (Pallas kernels cannot be "
-            "auto-partitioned); disable fused_loss / fused_kernel / "
-            "fused_encoder / blockwise_kernel or use explicit_collectives=True"
-        )
     from two_tower_models_tpu.models.two_tower import train_loss as _train_loss
+    from two_tower_models_tpu.parallel.islands import kernel_islands
     from two_tower_models_tpu.parallel.sharding import batch_pspec, state_pspecs
 
     tx = make_optimizer(train_cfg)
@@ -305,6 +296,15 @@ def make_gspmd_train_step(
             metrics,
         )
 
+    k_dispatch = train_cfg.steps_per_dispatch
+
+    def multi(state: TrainState, batches: Batch):
+        def body(s, b):
+            return step(s, b)
+
+        state, stacked = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), stacked)
+
     compiled = {}
 
     def run(state: TrainState, batch: Batch):
@@ -314,21 +314,26 @@ def make_gspmd_train_step(
         if "fn" not in compiled:
             to_sharding = lambda s: NamedSharding(mesh, s)
             state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state))
-            batch_sh = Batch(
-                *([to_sharding(batch_pspec())] * len(Batch._fields))
-            )
+            if k_dispatch > 1:
+                # stacked [K, B, ...] batches: K replicated, batch over data
+                bspec = to_sharding(P(None, DATA_AXIS))
+                body_fn = multi
+            else:
+                bspec = to_sharding(batch_pspec())
+                body_fn = step
+            batch_sh = Batch(*([bspec] * len(Batch._fields)))
             compiled["fn"] = jax.jit(
-                step,
+                body_fn,
                 in_shardings=(state_sh, batch_sh),
                 out_shardings=(state_sh, None),
                 donate_argnums=(0,),
             )
-        # The embedding-lookup VJP must pick its XLA scatter (not the
-        # pallas_call) under the SPMD partitioner — the trace-time switch
-        # covers large tables the static config guard above can't see.
-        # Entered on EVERY call (it's a cheap contextvar): the cached jit
-        # retraces on any new batch shape/dtype, not just the first call.
-        with disable_scatter_kernel():
+        # Both context switches enter on EVERY call (cheap contextvars): the
+        # cached jit retraces on any new batch shape/dtype, not just the
+        # first call.  disable_scatter_kernel: the embedding-lookup VJP must
+        # pick its XLA scatter under the SPMD partitioner.  kernel_islands:
+        # fused loss/encoder kernels wrap themselves in shard_map islands.
+        with disable_scatter_kernel(), kernel_islands(mesh):
             return compiled["fn"](state, batch)
 
     return run

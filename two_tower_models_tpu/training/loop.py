@@ -92,11 +92,6 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 return make_sharded_train_step(model_cfg, tc, mesh, mesh_cfg)
             from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
 
-            if tc.steps_per_dispatch > 1:
-                raise ValueError(
-                    "steps_per_dispatch > 1 is not implemented for the GSPMD "
-                    "path; use explicit_collectives=True"
-                )
             return make_gspmd_train_step(model_cfg, tc, mesh)
 
         gather = jax.jit(gather_batch)
