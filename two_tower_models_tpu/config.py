@@ -118,6 +118,13 @@ class ModelConfig:
     approx_mips: bool = False
     mips_recall_target: float = 0.95
 
+    # --- user-ID memorization arm ---
+    # Named extension point mirroring the reference's get_user_embedding hook
+    # (two_tower_base_retrieval.py:112-127): "table" is the id-table lookup;
+    # register alternatives with models.two_tower.register_user_embedding_arm
+    # (e.g. an external user-representation module).
+    user_embedding_arm: str = "table"
+
     # --- user history ---
     history_len: int = 10  # H
     history_encoder: Optional[HistoryEncoderConfig] = None
@@ -264,6 +271,13 @@ class TrainConfig:
     # the functional model has no data races to detect, so NaN/Inf tracing
     # is the remaining numeric sanitizer).
     debug_nans: bool = False
+    # Row-sparse table updates (training.sparse_tables): the step trains on
+    # a gathered minitable of touched rows and applies LAZY Adam to those
+    # rows only — table-size-independent update cost, no dense [V, D]
+    # gradient.  Lazy-Adam semantics (untouched rows' moments don't decay);
+    # dense path is reference-exact, so off by default.  Single-chip path
+    # only; recommended for tables >= ~1M rows (BASELINE.md).
+    lazy_table_adam: bool = False
     # One-pass Pallas Adam (ops.pallas.fused_adam): same math/state as
     # optax.adam.  Off by default — measured ~1.1ms SLOWER end-to-end at the
     # bench config: the pallas_call acts as a fusion/scheduling barrier,

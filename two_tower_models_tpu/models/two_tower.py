@@ -102,6 +102,11 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
         ),
     }
 
+    # custom user-ID arm (see register_user_embedding_arm below)
+    _, ext_init = _USER_EMBEDDING_ARMS[cfg.user_embedding_arm]
+    if ext_init is not None:
+        params["user_embedding_ext"] = ext_init(next(ks), cfg)
+
     if cfg.history_encoder is not None:
         params["history_encoder"] = history_encoder_init(
             next(ks), cfg.item_id_embedding_dim, cfg.history_encoder, dt
@@ -150,6 +155,42 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Dict:
 # Towers
 # ---------------------------------------------------------------------------
 
+# The user-ID memorization arm is an EXTENSION POINT, mirroring the
+# reference's ``get_user_embedding`` hook (two_tower_base_retrieval.py:112-127,
+# whose docstring points at swapping in an external user-representation
+# module).  Register a named arm and select it via
+# ``ModelConfig.user_embedding_arm``:
+#
+#     def my_init(key, cfg) -> params_subtree          # -> params["user_embedding_ext"]
+#     def my_apply(params, cfg, user_id) -> [B, DU]    # full params dict in
+#     register_user_embedding_arm("mine", my_apply, my_init)
+#
+# The default arm is the plain id-table lookup; custom arms still receive
+# the whole params dict (so they can combine the table with their own
+# ``user_embedding_ext`` subtree) and train end-to-end through jax.grad.
+_USER_EMBEDDING_ARMS: Dict[str, tuple] = {}
+
+
+def register_user_embedding_arm(name: str, apply_fn, init_fn=None) -> None:
+    """apply_fn(params, cfg, user_id) -> [B, DU]; optional init_fn(key, cfg)
+    returns a params subtree stored at ``params['user_embedding_ext']``."""
+    _USER_EMBEDDING_ARMS[name] = (apply_fn, init_fn)
+
+
+def _default_user_embedding(params, cfg, user_id):
+    return embedding_lookup(params["user_id_table"], user_id)
+
+
+register_user_embedding_arm("table", _default_user_embedding)
+
+
+def get_user_embedding(params: Dict, cfg: ModelConfig, user_id) -> jnp.ndarray:
+    """User-ID memorization arm [B, DU] (reference hook
+    two_tower_base_retrieval.py:112-127); dispatches on
+    ``cfg.user_embedding_arm``."""
+    apply_fn, _ = _USER_EMBEDDING_ARMS[cfg.user_embedding_arm]
+    return apply_fn(params, cfg, user_id)
+
 
 def user_tower_input(
     params: Dict, cfg: ModelConfig, user_id, user_features, user_history
@@ -162,7 +203,7 @@ def user_tower_input(
     two_tower_with_user_history_encoder.py:85-122).
     """
     cd = cfg.cdtype
-    uid_emb = embedding_lookup(params["user_id_table"], user_id)  # [B, DU]
+    uid_emb = get_user_embedding(params, cfg, user_id)  # [B, DU]
     ufeat_emb = mlp_apply(params["user_features_mlp"], user_features, cd)  # [B, DU]
     parts = [uid_emb, ufeat_emb]
     if cfg.history_encoder is not None:

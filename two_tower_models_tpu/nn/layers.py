@@ -68,10 +68,14 @@ def embedding_init(key, vocab: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
 # 65k rows (~1.7ms/step at bench scale) but 27ms at 1M for the SAME update
 # count.  In this window the custom Pallas scatter (ops.pallas.scatter_add,
 # sorted-updates + per-tile ranges) takes over: 4.3x faster at 1M rows
-# (BASELINE.md).  Below the window XLA wins outright; above it the kernel's
-# un-aliasable dense output tensors (one per lookup before autodiff sums
-# cotangents) tip a 16GB chip's HBM at Adam-state scale — and tables that
-# size belong on the row-sharded multi-chip path anyway (parallel/).
+# (BASELINE.md).  Below the window XLA wins outright.  Above it (root-caused
+# round 2): the kernel's D=64 output takes Mosaic's T(8,128) tiled layout,
+# and layout propagation then forces 2x-PADDED HLO-temp copies of the
+# table's params/mu/nu through the whole Adam cluster — +6 GB at 2x 4M-row
+# tables, over a 16 GB chip (the grad buffer itself is aliased and tight).
+# Tables that size belong on the row-sharded multi-chip path (parallel/),
+# where per-shard tables re-enter this window; TrainConfig.lazy_table_adam
+# is the single-chip alternative (O(touched-rows) semantics).
 _SCATTER_KERNEL_MIN_ROWS = 1 << 18
 _SCATTER_KERNEL_MAX_ROWS = 1 << 22
 

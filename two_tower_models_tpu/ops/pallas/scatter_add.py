@@ -40,6 +40,9 @@ def _kernel(
     starts_ref,  # SMEM [n_tiles + 1] int32 (scalar prefetch)
     ids_ref,  # HBM [Np] int32, sorted
     rows_ref,  # HBM [Np, D] f32, in sorted-id order
+    init_ref,  # HBM [Vp, D] f32 — zeros, ALIASED to the output (never read;
+    #            the alias stops Mosaic allocating a separate lane-padded
+    #            [Vp, 128] buffer, which doubled HBM and blocked >2^22 rows)
     out_ref,  # VMEM [tile_v, D] f32 — this program's table tile
     ids_smem,  # SMEM [CHUNK] int32 scratch
     rows_vmem,  # VMEM [CHUNK, D] f32 scratch
@@ -132,6 +135,7 @@ def rows_scatter_add(
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # sorted ids (HBM)
                 pl.BlockSpec(memory_space=pl.ANY),  # sorted rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # zeros, aliased to out
             ],
             out_specs=pl.BlockSpec(
                 (tile_v, d), lambda i, starts: (i, 0), memory_space=pltpu.VMEM
@@ -147,8 +151,14 @@ def rows_scatter_add(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
+        # Alias the zeros operand into the output: the kernel fully rewrites
+        # every tile it visits (zeros + adds), and the alias lets the output
+        # reuse XLA's tight [Vp, D] buffer instead of a fresh Mosaic
+        # allocation (lane-padded to [Vp, 128] — 2x HBM).  Operand index 3 =
+        # after the scalar-prefetch arg, ids, and rows.
+        input_output_aliases={3: 0},
         interpret=_interpret(),
-    )(starts, s_ids, s_rows)
+    )(starts, s_ids, s_rows, jnp.zeros((vp, d), jnp.float32))
     return out[:num_rows]
 
 

@@ -352,6 +352,12 @@ def make_sharded_train_step(
     ``parallel.sharding.shard_state`` and batch arrays shardable on their
     leading axis over ``data``.
     """
+    if model_cfg.user_embedding_arm != "table":
+        raise NotImplementedError(
+            "custom user_embedding_arm is not plumbed through the explicit "
+            "sharded tower; use the GSPMD path (explicit_collectives=False), "
+            "which partitions the full single-chip model"
+        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):

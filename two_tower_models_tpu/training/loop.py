@@ -78,6 +78,12 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 "shard_map step uses the optax path (and measures faster "
                 "anyway, BASELINE.md) — unset TrainConfig.fused_adam"
             )
+        if train_cfg.lazy_table_adam:
+            raise NotImplementedError(
+                "lazy_table_adam is single-chip for now; on a mesh the "
+                "row-sharded tables already bound per-chip table cost "
+                "(parallel.embedding) — unset TrainConfig.lazy_table_adam"
+            )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh

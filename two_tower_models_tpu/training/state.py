@@ -36,9 +36,21 @@ def create_train_state(
     k_params, k_rng = jax.random.split(key)
     params = init_params(k_params, model_cfg)
     tx = make_optimizer(train_cfg)
+    if train_cfg.lazy_table_adam:
+        # Sparse tables keep their Adam moments outside optax (row-gathered
+        # updates, training.sparse_tables); optax covers the dense subtree.
+        from two_tower_models_tpu.training.sparse_tables import (
+            init_table_moments,
+            split_params,
+        )
+
+        dense, _ = split_params(params)
+        opt_state = {"dense": tx.init(dense), "tables": init_table_moments(params)}
+    else:
+        opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         rng=k_rng,
     )

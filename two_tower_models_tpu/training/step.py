@@ -36,6 +36,17 @@ def make_train_step(
     """
     tx = make_optimizer(train_cfg)
 
+    if train_cfg.lazy_table_adam:
+        if train_cfg.fused_adam:
+            raise ValueError("lazy_table_adam and fused_adam are exclusive")
+        if model_cfg.user_embedding_arm != "table":
+            raise NotImplementedError(
+                "lazy_table_adam swaps the id tables for per-batch "
+                "minitables; custom user_embedding_arm implementations "
+                "cannot assume that — use the dense path"
+            )
+        return _make_lazy_table_step(model_cfg, train_cfg, tx)
+
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
         batch = gather_batch(data, idx)
         (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
@@ -60,6 +71,81 @@ def make_train_step(
             step=state.step + 1,
             params=params,
             opt_state=opt_state,
+            rng=state.rng,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    donate = (0,) if train_cfg.donate_state else ()
+    if train_cfg.steps_per_dispatch <= 1:
+        return jax.jit(step, donate_argnums=donate)
+
+    def multi_step(state: TrainState, data: SyntheticRecData, idx2d: jnp.ndarray):
+        def body(s, idx):
+            s2, metrics = step(s, data, idx)
+            return s2, metrics
+
+        state, stacked = jax.lax.scan(body, state, idx2d)
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), stacked)
+
+    return jax.jit(multi_step, donate_argnums=donate)
+
+
+def _make_lazy_table_step(
+    model_cfg: ModelConfig, train_cfg: TrainConfig, tx
+) -> Callable[[TrainState, SyntheticRecData, jnp.ndarray], Tuple[TrainState, dict]]:
+    """Row-sparse table training step (training.sparse_tables): the loss
+    differentiates against per-batch MINITABLES of touched rows, optax
+    updates the dense subtree, and lazy Adam writes the touched table rows
+    in place — update cost is O(touched rows), independent of table size."""
+    from two_tower_models_tpu.training.sparse_tables import (
+        SPARSE_TABLE_KEYS,
+        apply_sparse_adam,
+        build_minibatch,
+        split_params,
+    )
+
+    def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
+        batch = gather_batch(data, idx)
+        params = state.params
+        params2, batch2, meta = build_minibatch(model_cfg, params, batch)
+
+        (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
+            params2, model_cfg, batch2
+        )
+        g_dense, g_minis = split_params(grads)
+        dense_p, _ = split_params(params)
+
+        updates, dense_opt = tx.update(
+            g_dense, state.opt_state["dense"], dense_p
+        )
+        new_dense = optax.apply_updates(dense_p, updates)
+
+        t = state.step + 1
+        moments = state.opt_state["tables"]
+        new_params = dict(new_dense)
+        new_mu, new_nu = {}, {}
+        for name in SPARSE_TABLE_KEYS:
+            s, dup = meta[name]
+            new_params[name], new_mu[name], new_nu[name] = apply_sparse_adam(
+                params[name],
+                moments["mu"][name],
+                moments["nu"][name],
+                params2[name],
+                g_minis[name],
+                s,
+                dup,
+                t,
+                train_cfg,
+            )
+
+        new_state = TrainState(
+            step=t,
+            params=new_params,
+            opt_state={
+                "dense": dense_opt,
+                "tables": {"mu": new_mu, "nu": new_nu},
+            },
             rng=state.rng,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
