@@ -51,8 +51,15 @@ def test_forward_no_positional_encoding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-def test_vjp_matches_dense():
-    cfg, params, x = _setup(48, 32, 64, 4, 3)
+@pytest.mark.parametrize(
+    "b,h,d,nh,nl",
+    [
+        (48, 32, 64, 4, 3),  # flagship
+        (64, 10, 64, 2, 1),  # single layer: the ps-less residual path
+    ],
+)
+def test_vjp_matches_dense(b, h, d, nh, nl):
+    cfg, params, x = _setup(b, h, d, nh, nl)
 
     def loss(variant_cfg):
         def f(p, xx):

@@ -115,3 +115,36 @@ def test_weight_grads_accumulate_across_tiles():
     np.testing.assert_allclose(
         np.asarray(gw(64)), np.asarray(gw(256)), rtol=2e-4, atol=2e-4
     )
+
+
+def test_head_score_disparity_no_underflow():
+    """Regression (advisor r1): a head whose scores sit far below the hottest
+    head must still get a valid softmax — the merged-head kernel now uses
+    PER-HEAD maxes, where a single global row max underflowed the cold head's
+    probabilities to all-zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from two_tower_models_tpu.ops.pallas.fused_mha import (
+        fused_mha_layer,
+        mha_layer_reference,
+    )
+
+    B, H, D, NH = 16, 32, 64, 4
+    hd = D // NH
+    ks = jax.random.split(jax.random.key(11), 5)
+    x = jax.random.normal(ks[0], (B, H, D))
+    w_in = jax.random.normal(ks[1], (D, 3 * D)) * 0.05
+    # blow up head 0's q AND k projections: its scores ~ (30)^2 x hotter
+    w_in = w_in.at[:, 0:hd].mul(30.0).at[:, D : D + hd].mul(30.0)
+    b_in = jnp.zeros((3 * D,))
+    w_out = jax.random.normal(ks[3], (D, D)) * 0.05
+    b_out = jnp.zeros((D,))
+
+    out = fused_mha_layer(x, w_in, b_in, w_out, b_out, NH)
+    ref = mha_layer_reference(x, w_in, b_in, w_out, b_out, NH)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-4
+    )

@@ -139,7 +139,19 @@ def _thin_fwd(x, wi, bi, wo, bo, num_heads, hd, h_true, mm):
     )  # [TB, 1, NH*H]
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, nhp), 2)
     s = jnp.where(col % hp < h_true, s, _NEG_INF)
-    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    # per-head stabilizer via static lane slices (see fused_mha._attend —
+    # a global row max silently zeroes any head far below the hottest one)
+    m = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.max(s[:, :, h * hp : (h + 1) * hp], axis=-1, keepdims=True),
+                (tb, 1, hp),
+            )
+            for h in range(num_heads)
+        ],
+        axis=-1,
+    )
+    e = jnp.exp(s - m)
     denom = jax.lax.dot_general(
         e.astype(mm), _group_ones(nhp, hp, mm),
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -184,12 +196,16 @@ def _enc_fwd_kernel(
 
 
 def _enc_fwd_res_kernel(
-    x_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref, xs_ref, ps_ref,
-    *, num_heads, h_true, num_layers,
+    x_ref, pe_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref, xs_ref, p0_ref,
+    *maybe_ps_ref, num_heads, h_true, num_layers,
 ):
     """Forward that additionally streams out each layer's INPUT (xs) and
-    attention probabilities (ps) so the backward can skip the score/softmax
-    recompute.  ps[L-1] holds only query row 0 (thin final layer)."""
+    attention probabilities so the backward can skip the score/softmax
+    recompute.  The thin final layer's probs (query row 0 only) go to their
+    OWN [TB, 1, NH*H] output (p0) instead of row 0 of a full [TB, hp, NH*H]
+    slab whose other rows would be uninitialized VMEM streamed to HBM
+    (advisor finding r1); full layers' probs land in ps ([L-1, ...], absent
+    when L == 1)."""
     tb, hp, d = x_ref.shape
     hd = d // num_heads
     mm = _mm_dtype(x_ref.dtype)
@@ -197,6 +213,7 @@ def _enc_fwd_res_kernel(
     mean = jnp.sum(xin, axis=1) / h_true
     x = xin + pe_ref[...]
     for l in range(num_layers - 1):
+        ps_ref = maybe_ps_ref[0]
         xs_ref[l] = x.astype(xs_ref.dtype)
         x, (_, _, p, _, _, _) = _layer_fwd(
             x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, h_true, mm
@@ -207,7 +224,7 @@ def _enc_fwd_res_kernel(
     y0, (_, _, p0, _, _, _) = _thin_fwd(
         x, wi_ref[lt], bi_ref[lt], wo_ref[lt], bo_ref[lt], num_heads, hd, h_true, mm
     )
-    ps_ref[lt, :, 0:1, :] = p0.astype(ps_ref.dtype)
+    p0_ref[...] = p0.astype(p0_ref.dtype)
     y_ref[...] = jnp.stack([y0, mean], axis=1).astype(y_ref.dtype)
 
 
@@ -234,10 +251,16 @@ def _resid_from_stored(x, p, wi, bi, num_heads, hd, mm, thin):
 
 
 def _enc_bwd_res_kernel(
-    g_ref, xs_ref, ps_ref, wi_ref, bi_ref, wo_ref, bo_ref,
-    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref, dpe_ref,
-    *, num_heads, h_true, num_layers,
+    g_ref, xs_ref, p0_ref, *rest, num_heads, h_true, num_layers,
 ):
+    # rest = (ps_ref?, wi, bi, wo, bo, dx, dwi, dbi, dwo, dbo, dpe);
+    # ps_ref is present only for num_layers > 1 (see _enc_fwd_res_kernel).
+    if num_layers > 1:
+        ps_ref, *rest = rest
+    else:
+        ps_ref = None
+    (wi_ref, bi_ref, wo_ref, bo_ref,
+     dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref, dpe_ref) = rest
     _, tb, hp, d = xs_ref.shape
     hd = d // num_heads
     mm = _mm_dtype(xs_ref.dtype)
@@ -256,7 +279,7 @@ def _enc_bwd_res_kernel(
 
     lt = num_layers - 1
     thin_res = _resid_from_stored(
-        xs_ref[lt], ps_ref[lt][:, 0:1, :].astype(jnp.float32),
+        xs_ref[lt], p0_ref[...].astype(jnp.float32),
         wi_ref[lt], bi_ref[lt], num_heads, hd, mm, thin=True,
     )
     dy, dwi_l, dbi_l, dwo_l, dbo_l = _thin_bwd(
@@ -504,7 +527,7 @@ def _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
 
 
 def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
-    """Forward emitting (y, xs, ps) for the recompute-free backward."""
+    """Forward emitting (y, xs, p0[, ps]) for the recompute-free backward."""
     b, h_true, d = hist_emb.shape
     num_layers = w_in.shape[0]
     hp = _round_up(h_true, _sublane(hist_emb.dtype))
@@ -515,7 +538,26 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
     pe_p = jnp.pad(pe.astype(jnp.float32), ((0, hp - h_true), (0, 0)))
     const = lambda i: (0, 0)
     tiled4 = lambda i: (0, i, 0, 0)
-    y, xs, ps = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, 1, nhp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, 2, d), hist_emb.dtype),
+        jax.ShapeDtypeStruct((num_layers, bp, hp, d), hist_emb.dtype),
+        jax.ShapeDtypeStruct((bp, 1, nhp), hist_emb.dtype),
+    ]
+    if num_layers > 1:
+        out_specs.append(
+            pl.BlockSpec(
+                (num_layers - 1, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_layers - 1, bp, hp, nhp), hist_emb.dtype)
+        )
+    outs = pl.pallas_call(
         functools.partial(
             _enc_fwd_res_kernel,
             num_heads=num_heads, h_true=h_true, num_layers=num_layers,
@@ -526,16 +568,8 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
             pl.BlockSpec((hp, d), const, memory_space=pltpu.VMEM),
             *_weight_specs(num_layers, d),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, 2, d), hist_emb.dtype),
-            jax.ShapeDtypeStruct((num_layers, bp, hp, d), hist_emb.dtype),
-            jax.ShapeDtypeStruct((num_layers, bp, hp, nhp), hist_emb.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(
@@ -543,16 +577,18 @@ def _enc_fwd_res_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
         pe_p,
         *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
-    return y[:b], xs, ps
+    y, xs, p0 = outs[:3]
+    ps = outs[3] if num_layers > 1 else None
+    return y[:b], xs, p0, ps
 
 
 def _vjp_bwd_res(num_heads, tile_b, res, g):
-    hist_emb, pe, w_in, b_in, w_out, b_out, xs, ps = res
+    hist_emb, pe, w_in, b_in, w_out, b_out, xs, p0, ps = res
     b, h_true, d = hist_emb.shape
     dtype = xs.dtype
     num_layers = w_in.shape[0]
     hp = xs.shape[2]
-    nhp = ps.shape[3]
+    nhp = p0.shape[2]
     # Stored residuals stream in per tile; only one layer's working set is
     # live at a time.  Same budget formula as the forward, so the tile
     # divides the forward's padded batch.
@@ -565,18 +601,26 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
     gp = jnp.pad(g.astype(dtype), ((0, bp - b), (0, 0), (0, 0)))
     const = lambda i: (0, 0)
     tiled4 = lambda i: (0, i, 0, 0)
+    in_specs = [
+        pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, 1, nhp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [gp, xs, p0]
+    if num_layers > 1:
+        in_specs.append(
+            pl.BlockSpec(
+                (num_layers - 1, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(ps)
     dx, dwi, dbi, dwo, dbo, dpe = pl.pallas_call(
         functools.partial(
             _enc_bwd_res_kernel,
             num_heads=num_heads, h_true=h_true, num_layers=num_layers,
         ),
         grid=(bp // tile_b,),
-        in_specs=[
-            pl.BlockSpec((tile_b, 2, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, tile_b, hp, d), tiled4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_layers, tile_b, hp, nhp), tiled4, memory_space=pltpu.VMEM),
-            *_weight_specs(num_layers, d),
-        ],
+        in_specs=in_specs + _weight_specs(num_layers, d),
         out_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *_weight_specs(num_layers, d),
@@ -590,9 +634,7 @@ def _vjp_bwd_res(num_heads, tile_b, res, g):
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(
-        gp,
-        xs,
-        ps,
+        *operands,
         *_weight_args(w_in, b_in, w_out, b_out, num_layers),
     )
     return (
@@ -629,10 +671,10 @@ _RESIDUAL_BWD = True
 
 def _vjp_fwd(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b):
     if _RESIDUAL_BWD:
-        y, xs, ps = _enc_fwd_res_impl(
+        y, xs, p0, ps = _enc_fwd_res_impl(
             hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b
         )
-        return y, (hist_emb, pe, w_in, b_in, w_out, b_out, xs, ps)
+        return y, (hist_emb, pe, w_in, b_in, w_out, b_out, xs, p0, ps)
     y = _enc_fwd_impl(hist_emb, pe, w_in, b_in, w_out, b_out, num_heads, tile_b)
     return y, (hist_emb, pe, w_in, b_in, w_out, b_out)
 

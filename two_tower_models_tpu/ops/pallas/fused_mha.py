@@ -114,16 +114,28 @@ def _attend(q, k, v, num_heads, hd, h_true, mm):
     )  # [TB, H, NH*H]: s[b, q, h*H + k] = per-head score
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, hp, nhp), 2)
     s = jnp.where(col % hp < h_true, s, _NEG_INF)
-    # One row max across all heads is a valid softmax stabilizer per head.
-    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    # PER-HEAD softmax stabilizer: max over each head's H-wide lane group,
+    # via NH static lane slices (no relayout, no matmul — NH is small).  A
+    # single global row max silently zeroed any head sitting >~87 below the
+    # hottest head (advisor finding r1).
+    m = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.max(s[:, :, h * hp : (h + 1) * hp], axis=-1, keepdims=True),
+                (tb, hp, hp),
+            )
+            for h in range(num_heads)
+        ],
+        axis=-1,
+    )  # [TB, H, NH*H]
+    e = jnp.exp(s - m)
     denom = jax.lax.dot_general(
         e.astype(mm), _group_ones(nhp, hp, mm),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # per-head sums broadcast across each head's lane group
-    # Clamp: a head whose scores sit >~87 below the global row max underflows
-    # entirely (its p rows become 0 instead of uniform) — acceptable in that
-    # degenerate regime, and this keeps the kernel NaN-free.
+    # With per-head maxes each group's denominator is >= 1 (its max entry
+    # contributes exp(0)); the clamp is inert but keeps the kernel NaN-proof.
     p = e / jnp.maximum(denom, 1e-30)  # [TB, H, NH*H]
     out = jax.lax.dot_general(
         p.astype(mm), v_all,
