@@ -223,6 +223,13 @@ class MeshConfig:
     # Share in-batch negatives across the data axis (global [B_local, B_global]
     # logit matrix instead of per-shard [B_local, B_local]).
     global_negatives: bool = True
+    # Tensor-parallel feature MLPs over `model` (Megatron pattern: layer 0
+    # column-split, activation shard-local, layer 1 row-split + one psum).
+    # Off by default: at the reference's MLP sizes (IU -> 256 -> DU) the
+    # latency of per-layer collectives exceeds the matmul saving; the knob
+    # exists for wide-tower configs.  feature_hidden_dim must divide by the
+    # model-axis size.
+    tower_tp: bool = False
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,7 @@ def make_sharded_refresh_fn(
     model_cfg: ModelConfig,
     mesh: Mesh,
     lookup_strategy: str = "psum",
+    tower_tp: bool = False,
 ):
     """(params, padded_ids, padded_features) -> corpus row-sharded over the
     whole mesh (``P((data, model))``).
@@ -75,13 +76,13 @@ def make_sharded_refresh_fn(
     """
 
     def embed(params, ids, feats):
-        return _item_tower(params, model_cfg, ids, feats, lookup_strategy)
+        return _item_tower(params, model_cfg, ids, feats, lookup_strategy, tower_tp)
 
     def refresh(params, ids, feats):
         mapped = jax.shard_map(
             embed,
             mesh=mesh,
-            in_specs=(param_pspecs(params), P(DATA_AXIS), P(DATA_AXIS, None)),
+            in_specs=(param_pspecs(params, tower_tp), P(DATA_AXIS), P(DATA_AXIS, None)),
             out_specs=P(DATA_AXIS, None),
             check_vma=False,
         )
@@ -98,6 +99,7 @@ def make_sharded_recall_fn(
     mesh: Mesh,
     top_k: int = 100,
     lookup_strategy: str = "psum",
+    tower_tp: bool = False,
 ):
     """Sharded recall@k: (params, corpus, valid_count, batch) -> scalar.
 
@@ -111,7 +113,7 @@ def make_sharded_recall_fn(
     def recall(params, corpus_shard, batch, valid_count):
         user_emb, _ = _user_tower(
             params, model_cfg, batch.user_id, batch.user_features,
-            batch.user_history, lookup_strategy,
+            batch.user_history, lookup_strategy, tower_tp,
         )  # [B_local, DI]
         b_local = user_emb.shape[0]
         # The corpus shards span BOTH mesh axes (maximum memory spread), so
@@ -138,7 +140,7 @@ def make_sharded_recall_fn(
         mapped = jax.shard_map(
             lambda p, c, b: recall(p, c, b, valid_count),
             mesh=mesh,
-            in_specs=(param_pspecs(params), P(ALL_AXES, None), batch_specs),
+            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), batch_specs),
             out_specs=P(),
             check_vma=False,
         )
@@ -151,6 +153,7 @@ def make_sharded_retrieval_fn(
     model_cfg: ModelConfig,
     mesh: Mesh,
     lookup_strategy: str = "psum",
+    tower_tp: bool = False,
 ):
     """Serving-side sharded retrieval: (params, corpus, valid_count, user_id,
     user_features, user_history) -> [B, num_items] corpus indices.
@@ -166,7 +169,7 @@ def make_sharded_retrieval_fn(
 
     def query_fn(params, corpus_shard, uid, ufeat, uhist, valid_count):
         user_emb, ranker_embs = _user_tower(
-            params, model_cfg, uid, ufeat, uhist, lookup_strategy
+            params, model_cfg, uid, ufeat, uhist, lookup_strategy, tower_tp
         )
         topk_fn = lambda q, k: sharded_mips_topk(
             corpus_shard, q, k, ALL_AXES, valid_count=valid_count,
@@ -180,7 +183,7 @@ def make_sharded_retrieval_fn(
         mapped = jax.shard_map(
             lambda p, c, a, b, h: query_fn(p, c, a, b, h, valid_count),
             mesh=mesh,
-            in_specs=(param_pspecs(params), P(ALL_AXES, None), P(), P(), P()),
+            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )

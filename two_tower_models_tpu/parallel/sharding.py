@@ -28,44 +28,79 @@ from two_tower_models_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 # table is NOT here: 100 x 1 — sharding it would cost a collective per lookup
 # to save 400 bytes.)
 _TABLE_KEYS = ("user_id_table", "item_id_table")
+# Feature-MLP keys eligible for tensor parallelism (MeshConfig.tower_tp):
+# layer 0 column-split, layer 1 row-split — the Megatron MLP pattern (one
+# psum after layer 1, activation stays shard-local).
+_TP_MLP_KEYS = ("user_features_mlp", "item_features_mlp")
 
 
-def param_pspecs(params: Dict) -> Dict:
+def _path_parts(path):
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(p.key)
+        elif hasattr(p, "idx"):
+            out.append(p.idx)
+        else:
+            out.append(str(p))
+    return out
+
+
+def _tp_mlp_spec(parts):
+    """TP spec for an (mlp-name, layer-index, 'w'|'b') path suffix, else None."""
+    for i, n in enumerate(parts):
+        if n in _TP_MLP_KEYS:
+            if i + 2 >= len(parts):
+                return None
+            layer, leafn = parts[i + 1], parts[i + 2]
+            if layer == 0:  # column-parallel: out features split
+                return P(None, MODEL_AXIS) if leafn == "w" else P(MODEL_AXIS)
+            if layer == 1:  # row-parallel: in features split, bias replicated
+                return P(MODEL_AXIS, None) if leafn == "w" else P()
+            return P()
+    return None
+
+
+def param_pspecs(params: Dict, tower_tp: bool = False) -> Dict:
     """PartitionSpec pytree matching ``params``."""
 
     def spec_for(path, leaf):
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if top in _TABLE_KEYS:
+        parts = _path_parts(path)
+        if parts[0] in _TABLE_KEYS:
             return P(MODEL_AXIS, None)
+        if tower_tp:
+            tp = _tp_mlp_spec(parts)
+            if tp is not None:
+                return tp
         return P()  # replicated
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def state_pspecs(state) -> "TrainStateSpecs":
+def state_pspecs(state, tower_tp: bool = False) -> "TrainStateSpecs":
     """Spec pytree for the full TrainState: opt_state mirrors params."""
     from two_tower_models_tpu.training.state import TrainState
 
-    pspecs = param_pspecs(state.params)
+    pspecs = param_pspecs(state.params, tower_tp)
 
     def opt_spec(path, leaf):
         # Adam moments (mu/nu) replicate the params' tree structure, so the
-        # table name appears somewhere in the key path; match on it.
-        names = {
-            p.key if hasattr(p, "key") else str(p) for p in path
-        }
-        if (
-            names & set(_TABLE_KEYS)
-            and getattr(leaf, "ndim", 0) == 2
-        ):
+        # param path appears as a suffix of the opt-state path; match on it.
+        parts = _path_parts(path)
+        names = set(parts)
+        if names & set(_TABLE_KEYS) and getattr(leaf, "ndim", 0) == 2:
             return P(MODEL_AXIS, None)
+        if tower_tp:
+            tp = _tp_mlp_spec(parts)
+            if tp is not None:
+                return tp
         return P()
 
     opt_specs = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
     return TrainState(step=P(), params=pspecs, opt_state=opt_specs, rng=P())
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, tower_tp: bool = False):
     """Place a host-built TrainState onto the mesh per the layout.
 
     Single-process: a plain resharding device_put.  Multi-process: every
@@ -75,7 +110,7 @@ def shard_state(state, mesh: Mesh):
     devices.  Typed PRNG keys go through key_data/wrap_key_data (their
     extended dtype has no numpy view).
     """
-    specs = state_pspecs(state)
+    specs = state_pspecs(state, tower_tp)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs

@@ -62,12 +62,32 @@ def _lookup(params, name, ids, strategy):
     return jnp.take(table, ids, axis=0)
 
 
-def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy):
+def _tp_mlp_apply(params, x, cd):
+    """Tensor-parallel 2-layer MLP (MeshConfig.tower_tp): layer 0 holds this
+    shard's output COLUMNS (activation stays local), layer 1 this shard's
+    input ROWS — one psum over `model` recovers the full output, bias added
+    after (Megatron MLP pattern)."""
+    h = jax.nn.relu(linear_apply(params[0], x, cd))  # [B, hidden/n] local
+    w, b = params[1]["w"], params[1]["b"]
+    if cd is not None:
+        h = h.astype(cd)
+        w = w.astype(cd)
+    y = jax.lax.psum(
+        jnp.dot(h, w, preferred_element_type=jnp.float32), MODEL_AXIS
+    )
+    return y + b.astype(y.dtype)
+
+
+def _mlp(params, x, cd, tp: bool):
+    return _tp_mlp_apply(params, x, cd) if tp else mlp_apply(params, x, cd)
+
+
+def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy, tp=False):
     """Returns (user_emb [B_local, DI], ranker_embs [B_local, NU, DI] | None) —
     mirrors two_tower.compute_user_embedding over the sharded lookup."""
     cd = cfg.cdtype
     uid = _lookup(params, "user_id_table", user_id, strategy)
-    ufeat = mlp_apply(params["user_features_mlp"], user_features, cd)
+    ufeat = _mlp(params["user_features_mlp"], user_features, cd, tp)
     parts = [uid, ufeat]
     if cfg.history_encoder is not None:
         hist = _lookup(params, "item_id_table", user_history, strategy)
@@ -85,10 +105,10 @@ def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, 
     return user_emb, ranker_embs
 
 
-def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy):
+def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy, tp=False):
     cd = cfg.cdtype
     iid = _lookup(params, "item_id_table", item_id, strategy)
-    ifeat = mlp_apply(params["item_features_mlp"], item_features, cd)
+    ifeat = _mlp(params["item_features_mlp"], item_features, cd, tp)
     x = jnp.concatenate([iid, ifeat], axis=-1)
     return linear_apply(params["item_tower_head"], x, cd)
 
@@ -162,12 +182,13 @@ def sharded_loss_fn(
     shard_map over a ('data', 'model') mesh; batch arrays arrive data-sharded.
     Matches two_tower.train_loss on the global batch (parity-tested per preset
     in tests/test_parallel.py)."""
+    tp = mesh_cfg.tower_tp
     user_emb, ranker_embs = _user_tower(
         params, cfg, batch.user_id, batch.user_features, batch.user_history,
-        lookup_strategy,
+        lookup_strategy, tp,
     )  # [B_local, DI]
     item_emb = _item_tower(
-        params, cfg, batch.item_id, batch.item_features, lookup_strategy
+        params, cfg, batch.item_id, batch.item_features, lookup_strategy, tp
     )  # [B_local, DI]
 
     b_local = user_emb.shape[0]
@@ -259,6 +280,7 @@ def make_gspmd_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     mesh: Mesh,
+    mesh_cfg: MeshConfig = None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, dict]]:
     """GSPMD alternative to the explicit shard_map step: the SINGLE-CHIP
     step body jitted with NamedSharding-annotated inputs — XLA's SPMD
@@ -312,8 +334,9 @@ def make_gspmd_train_step(
 
         # shardings derive from the state's pytree, known at first call
         if "fn" not in compiled:
+            tp = bool(mesh_cfg and mesh_cfg.tower_tp)
             to_sharding = lambda s: NamedSharding(mesh, s)
-            state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state))
+            state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state, tp))
             if k_dispatch > 1:
                 # stacked [K, B, ...] batches: K replicated, batch over data
                 bspec = to_sharding(P(None, DATA_AXIS))
@@ -358,6 +381,12 @@ def make_sharded_train_step(
             "sharded tower; use the GSPMD path (explicit_collectives=False), "
             "which partitions the full single-chip model"
         )
+    if mesh_cfg.tower_tp and model_cfg.feature_hidden_dim % mesh.shape[MODEL_AXIS]:
+        raise ValueError(
+            f"tower_tp needs feature_hidden_dim "
+            f"({model_cfg.feature_hidden_dim}) divisible by the model axis "
+            f"({mesh.shape[MODEL_AXIS]})"
+        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):
@@ -374,17 +403,26 @@ def make_sharded_train_step(
         # Gradient reduction: every leaf psums over 'data'.  Sharded-table
         # grads are already local to their 'model' shard (the lookup exchange
         # routed contributions home via the collective's transpose); no
-        # reduction over 'model' for them.  Replicated leaves DO need a psum
-        # over 'model' only for contributions generated from model-sharded
-        # inputs — here replicated params consume replicated activations, so
-        # their grads are identical across 'model' and a psum would
-        # over-count; we instead pmean over 'model' to collapse duplicates.
+        # reduction over 'model' for them — same for the TP-split MLP leaves
+        # when tower_tp is on (the psum in _tp_mlp_apply transposes to the
+        # shard-local grad).  Replicated leaves' grads are identical across
+        # 'model' (replicated params x replicated activations), so pmean
+        # collapses the duplicates.
+        from two_tower_models_tpu.parallel.sharding import (
+            _path_parts,
+            _tp_mlp_spec,
+        )
+
         def reduce_grad(path, g):
-            names = {p.key if hasattr(p, "key") else str(p) for p in path}
+            parts = _path_parts(path)
             g = jax.lax.psum(g, DATA_AXIS)
-            if not (names & set(_SHARDED_TABLES)):
-                g = jax.lax.pmean(g, MODEL_AXIS)
-            return g
+            if set(parts) & set(_SHARDED_TABLES):
+                return g
+            if mesh_cfg.tower_tp:
+                tp_spec = _tp_mlp_spec(parts)
+                if tp_spec is not None and tp_spec != P():
+                    return g  # model-sharded leaf: grad is shard-local
+            return jax.lax.pmean(g, MODEL_AXIS)
 
         grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
 
@@ -401,7 +439,7 @@ def make_sharded_train_step(
     dummy_state_specs = None  # resolved at call time via closure below
 
     def build(state: TrainState):
-        specs = state_pspecs(state)
+        specs = state_pspecs(state, mesh_cfg.tower_tp)
         batch_specs = Batch(
             user_id=P(DATA_AXIS),
             user_features=P(DATA_AXIS),

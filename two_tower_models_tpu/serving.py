@@ -44,11 +44,13 @@ class RetrievalEngine:
         corpus: jnp.ndarray,
         mesh=None,
         valid_count: int | None = None,
+        tower_tp: bool = False,
     ):
         self._params = params
         self._cfg = cfg
         self._corpus = corpus
         self._mesh = mesh
+        self._tower_tp = tower_tp
         self._valid_count = int(
             corpus.shape[0] if valid_count is None else valid_count
         )
@@ -65,7 +67,7 @@ class RetrievalEngine:
                 make_sharded_retrieval_fn,
             )
 
-            fn = make_sharded_retrieval_fn(cfg, mesh)
+            fn = make_sharded_retrieval_fn(cfg, mesh, tower_tp=tower_tp)
             vc = self._valid_count
             self._query = lambda p, c, uid, uf, uh: fn(p, c, uid, uf, uh, vc)
 
@@ -78,6 +80,7 @@ class RetrievalEngine:
         catalog_features: jnp.ndarray,
         embed_batch_size: int = 4096,
         mesh=None,
+        tower_tp: bool = False,
     ) -> "RetrievalEngine":
         """Build the corpus from the trained item tower, then serve it."""
         if mesh is not None:
@@ -87,8 +90,13 @@ class RetrievalEngine:
             )
 
             ids, feats, valid_c = pad_catalog(catalog_ids, catalog_features, mesh)
-            corpus = make_sharded_refresh_fn(cfg, mesh)(params, ids, feats)
-            return cls(params, cfg, corpus, mesh=mesh, valid_count=valid_c)
+            corpus = make_sharded_refresh_fn(cfg, mesh, tower_tp=tower_tp)(
+                params, ids, feats
+            )
+            return cls(
+                params, cfg, corpus, mesh=mesh, valid_count=valid_c,
+                tower_tp=tower_tp,
+            )
         corpus = refresh_corpus(
             params, cfg, catalog_ids, catalog_features, batch_size=embed_batch_size
         )
@@ -140,9 +148,9 @@ class RetrievalEngine:
             ids, feats, valid_c = pad_catalog(
                 catalog_ids, catalog_features, self._mesh
             )
-            corpus = make_sharded_refresh_fn(self._cfg, self._mesh)(
-                params, ids, feats
-            )
+            corpus = make_sharded_refresh_fn(
+                self._cfg, self._mesh, tower_tp=self._tower_tp
+            )(params, ids, feats)
             assert valid_c == self._valid_count, (
                 "catalog size changed across refresh; rebuild the engine "
                 "(the jitted query closes over valid_count)"

@@ -91,14 +91,14 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
 
         mesh = make_mesh(mesh_cfg)
-        state = shard_state(state, mesh)
+        state = shard_state(state, mesh, mesh_cfg.tower_tp)
 
         def _make_mesh_step(tc):
             if mesh_cfg.explicit_collectives:
                 return make_sharded_train_step(model_cfg, tc, mesh, mesh_cfg)
             from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
 
-            return make_gspmd_train_step(model_cfg, tc, mesh)
+            return make_gspmd_train_step(model_cfg, tc, mesh, mesh_cfg)
 
         gather = jax.jit(gather_batch)
         _mesh_step = _make_mesh_step(train_cfg)
@@ -203,9 +203,11 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 NamedSharding(mesh, _P(_DA, None)),
                 _np.asarray(pad_feats[_p * _rows : (_p + 1) * _rows]),
             )
-        sharded_refresh = make_sharded_refresh_fn(model_cfg, mesh)
+        sharded_refresh = make_sharded_refresh_fn(
+            model_cfg, mesh, tower_tp=mesh_cfg.tower_tp
+        )
         sharded_recall = make_sharded_recall_fn(
-            model_cfg, mesh, train_cfg.eval_top_k
+            model_cfg, mesh, train_cfg.eval_top_k, tower_tp=mesh_cfg.tower_tp
         )
         n_eval = max(
             mesh_cfg.data,
@@ -382,6 +384,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # mesh: data*model must divide the available device count
     p.add_argument("--mesh_data", type=int, default=1, help="data-parallel mesh axis")
     p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
+    p.add_argument("--tower_tp", action="store_true",
+                   help="tensor-parallel feature MLPs over the model axis (Megatron split)")
     p.add_argument("--gspmd", action="store_true",
                    help="multi-chip via GSPMD (jit + NamedSharding) instead of explicit shard_map collectives")
     p.add_argument(
@@ -429,6 +433,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
     mesh = MeshConfig(
         data=args.mesh_data, model=args.mesh_model,
         explicit_collectives=not args.gspmd,
+        tower_tp=args.tower_tp,
     )
     return ExperimentConfig(model=model, data=data, train=train_c, mesh=mesh)
 
