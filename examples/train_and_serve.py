@@ -33,8 +33,16 @@ from two_tower_models_tpu.utils.logging import JsonlLogger
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/two_tower_demo")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep an existing workdir (default: start fresh so "
+                         "the train->resume story replays)")
     args = ap.parse_args()
     ckpt_dir = os.path.join(args.workdir, "ckpt")
+    if not args.keep and os.path.exists(ckpt_dir):
+        import shutil
+
+        print(f"removing stale demo checkpoints at {ckpt_dir}")
+        shutil.rmtree(ckpt_dir)
 
     # 1. Configure: the history-encoder + combined-debias variant at demo
     #    scale.  `preset` accepts any reference class name.

@@ -9,7 +9,8 @@ straight-line program per config:
 
   reference hook                         -> here
   ----------------------------------------------------------------------
-  get_user_embedding        (:112-127)   -> user-id table lookup
+  get_user_embedding        (:112-127)   -> get_user_embedding() (registered
+                                            extension point, default: table lookup)
   process_user_features     (:129-162)   -> user_tower_input()
   compute_user_embedding    (:164-191)   -> compute_user_embedding()
   compute_item_embeddings   (:193-219)   -> compute_item_embeddings()

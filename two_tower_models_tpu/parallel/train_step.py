@@ -436,8 +436,6 @@ def make_sharded_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    dummy_state_specs = None  # resolved at call time via closure below
-
     def build(state: TrainState):
         specs = state_pspecs(state, mesh_cfg.tower_tp)
         batch_specs = Batch(

@@ -30,6 +30,11 @@ class CheckpointManager:
 
     def save(self, state: TrainState, force: bool = False) -> bool:
         step = int(state.step)
+        # Idempotent: a resumed run that trains zero new steps re-saves its
+        # restored step at exit — orbax raises StepAlreadyExistsError even
+        # under force, so skip instead.
+        if step in set(self._mgr.all_steps()):
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
