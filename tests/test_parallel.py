@@ -418,6 +418,32 @@ def test_tower_tp_full_step_and_eval():
 
 
 @requires_8
+def test_gspmd_tower_tp_parity():
+    """GSPMD + tower_tp: the TP shardings are spec-driven — the partitioned
+    step must match the single-chip loss with MLP params model-sharded."""
+    from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
+
+    cfg = _small_preset("two_tower_base_retrieval")
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    mesh_cfg = MeshConfig(data=2, model=4, tower_tp=True)
+    tcfg = TrainConfig(batch_size=32, learning_rate=1e-3)
+    state = create_train_state(jax.random.key(0), cfg, tcfg)
+    batch = make_batch(jax.random.key(1), cfg, 32)
+
+    ref_loss, _ = two_tower.train_loss(state.params, cfg, batch)
+
+    sharded = shard_state(state, mesh, tower_tp=True)
+    w0 = sharded.params["user_features_mlp"][0]["w"]
+    assert w0.sharding.shard_shape(w0.shape)[1] == w0.shape[1] // 4
+    step = make_gspmd_train_step(cfg, tcfg, mesh, mesh_cfg)
+    new_state, metrics = step(sharded, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss), rtol=1e-5)
+    # updated MLP params keep their TP sharding
+    w0b = new_state.params["user_features_mlp"][0]["w"]
+    assert w0b.sharding.shard_shape(w0b.shape)[1] == w0b.shape[1] // 4
+
+
+@requires_8
 def test_gspmd_gradients_match_single_chip_with_kernels():
     """GSPMD path WITH Pallas kernels (shard_map islands): gradients through
     the partitioned program equal the unsharded gradients (VERDICT r1 #6 —

@@ -84,6 +84,37 @@ def test_sharded_mips_topk_tuple_axes_and_padding():
 
 
 @requires_8
+@pytest.mark.slow
+def test_sharded_topk_uses_tilemax_kernel_on_large_shards():
+    """Shards large enough for tile-max pruning route through the Pallas
+    exact pipeline (per-shard DYNAMIC valid counts): parity with the
+    single-device scan on a padded corpus."""
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    c, di, b, k = 140_000, 16, 8, 50  # 17500/shard > k*128 -> kernel path
+    corpus = jax.random.normal(jax.random.key(0), (c, di))
+    query = jax.random.normal(jax.random.key(1), (b, di))
+    pad = (-c) % 8
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0)))
+
+    def f(corpus_shard, query):
+        return sharded_mips_topk(
+            corpus_shard, query, k, ("model",), valid_count=c
+        )
+
+    idx, scores, emb = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("model", None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(corpus_p, query)
+    ref_idx, ref_scores, ref_emb = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores), rtol=1e-6)
+
+
+@requires_8
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1)])
 def test_sharded_refresh_matches_and_stays_sharded(mesh_shape):
     mesh = make_mesh(MeshConfig(*mesh_shape))
@@ -124,6 +155,35 @@ def test_sharded_recall_matches_single_device():
         make_sharded_recall_fn(CFG, mesh, top_k)(params, corpus, batch, valid_c)
     )
     assert got == pytest.approx(ref, abs=1e-6)
+
+
+@requires_8
+def test_sharded_serving_engine_approx_mode():
+    """approx_mips=True on the mesh engine: per-shard approx scan + exact
+    merge.  On the CPU backend approx_max_k reduces exactly, so results must
+    equal the exact engine's as sets per row."""
+    import dataclasses
+
+    from two_tower_models_tpu.serving import RetrievalEngine
+
+    cfg = dataclasses.replace(CFG, approx_mips=True, num_items=8)
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    ids, feats = _catalog(jax.random.key(3), cfg, 90)
+    batch = make_batch(jax.random.key(9), cfg, 16)
+
+    exact_engine = RetrievalEngine.from_params(
+        params, dataclasses.replace(cfg, approx_mips=False), ids, feats
+    )
+    approx_engine = RetrievalEngine.from_params(params, cfg, ids, feats, mesh=mesh)
+    ref = np.asarray(
+        exact_engine.query(batch.user_id, batch.user_features, batch.user_history)
+    )
+    got = np.asarray(
+        approx_engine.query(batch.user_id, batch.user_features, batch.user_history)
+    )
+    for r, g in zip(ref, got):
+        assert set(r.tolist()) == set(g.tolist())
 
 
 @requires_8

@@ -48,7 +48,7 @@ _RING = 8  # in-flight tile DMAs per sub-query
 # ---------------------------------------------------------------------------
 
 
-def _tilemax_kernel(q_ref, c_ref, m_ref, *, tile: int, chunk: int, valid: int):
+def _tilemax_kernel(valid_ref, q_ref, c_ref, m_ref, *, tile: int, chunk: int):
     ci = pl.program_id(1)
     qb = q_ref.shape[0]
     s_t = jax.lax.dot_general(
@@ -57,7 +57,7 @@ def _tilemax_kernel(q_ref, c_ref, m_ref, *, tile: int, chunk: int, valid: int):
         preferred_element_type=jnp.float32,
     )  # [CHUNK, QB] — transposed so the tile axis is the leading one
     row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + ci * chunk
-    s_t = jnp.where(row < valid, s_t, _NEG_INF)
+    s_t = jnp.where(row < valid_ref[0, 0], s_t, _NEG_INF)
     m_ref[...] = jnp.max(s_t.reshape(chunk // tile, tile, qb), axis=1)
 
 
@@ -65,7 +65,7 @@ def tile_max_scores(
     query: jnp.ndarray,  # [B, D] — bf16 recommended
     corpus_p: jnp.ndarray,  # [C_pad, D], C_pad % chunk == 0
     tile: int,
-    valid_count: int,
+    valid_count,  # int or traced int32 scalar (dynamic inside shard_map)
     chunk: int = 2048,
     query_block: int = 512,
 ) -> jnp.ndarray:
@@ -77,13 +77,13 @@ def tile_max_scores(
     qb = min(query_block, b)
     assert b % qb == 0
     n_tiles = c_pad // tile
+    valid = jnp.asarray(valid_count, jnp.int32).reshape(1, 1)
 
     m_t = pl.pallas_call(
-        functools.partial(
-            _tilemax_kernel, tile=tile, chunk=chunk, valid=valid_count
-        ),
+        functools.partial(_tilemax_kernel, tile=tile, chunk=chunk),
         grid=(b // qb, c_pad // chunk),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda qi, ci: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((qb, d), lambda qi, ci: (qi, 0)),
             pl.BlockSpec((chunk, d), lambda qi, ci: (ci, 0)),
         ],
@@ -95,7 +95,7 @@ def tile_max_scores(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(query, corpus_p)
+    )(valid, query, corpus_p)
     return m_t.T
 
 
@@ -200,12 +200,15 @@ def mips_topk_exact_pallas(
     k: int,
     tile: int = 128,
     chunk: int = 2048,
+    valid_count=None,  # int or traced scalar: rows >= this are padding
 ):
     """Exact MIPS top-k: Pallas passes 1+3 around XLA's narrow selections.
 
     Same contract and exactness argument as
     ``retrieval.mips.mips_topk_exact_tilemax`` (see its docstring); returns
-    (indices [B,k], scores [B,k], embeddings [B,k,D]).
+    (indices [B,k], scores [B,k], embeddings [B,k,D]).  ``valid_count`` may
+    be a traced scalar (per-shard valid row counts inside ``shard_map``);
+    the small-corpus fallback decision stays static (based on C).
     """
     from two_tower_models_tpu.retrieval.mips import mips_topk
 
@@ -214,7 +217,16 @@ def mips_topk_exact_pallas(
     k = min(k, c)
     n_tiles = -(-c // tile)
     if k * tile >= c or n_tiles < k:
-        return mips_topk(corpus, query, k)
+        if valid_count is None:
+            return mips_topk(corpus, query, k)
+        # small-corpus fallback with padded rows: mask them before selecting
+        full = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
+        fcol = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
+        full = jnp.where(fcol < jnp.asarray(valid_count), full, _NEG_INF)
+        scores, idx = jax.lax.top_k(full, k)
+        return idx, scores, jnp.take(corpus, idx, axis=0)
+
+    valid = c if valid_count is None else valid_count
 
     pad = -(-c // chunk) * chunk - c
     corpus_pc = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
@@ -222,7 +234,7 @@ def mips_topk_exact_pallas(
     query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
     bp = query_p.shape[0]
 
-    m = tile_max_scores(query_p, corpus_pc, tile, c, chunk=chunk)  # [B, NT]
+    m = tile_max_scores(query_p, corpus_pc, tile, valid, chunk=chunk)  # [B, NT]
     _, tile_idx = jax.lax.top_k(m, k)  # [B, k]
 
     # lane-align the width for the gather kernel's row DMAs
@@ -233,7 +245,7 @@ def mips_topk_exact_pallas(
     cand_gidx = (
         tile_idx[:, :, None] * tile + jnp.arange(tile)[None, None, :]
     ).reshape(bp, k * tile)
-    cand_scores = jnp.where(cand_gidx < c, cand_scores, _NEG_INF)
+    cand_scores = jnp.where(cand_gidx < jnp.asarray(valid), cand_scores, _NEG_INF)
 
     top_scores, sel = jax.lax.top_k(cand_scores, k)
     top_idx = jnp.take_along_axis(cand_gidx, sel, axis=1)

@@ -84,18 +84,45 @@ def sharded_mips_topk(
     """
     shard = jax.lax.axis_index(axis_name)
     n_local = corpus_shard.shape[0]
+    kk = min(k, n_local)
 
-    local_scores = jnp.dot(query, corpus_shard.T, preferred_element_type=jnp.float32)
-    if valid_count is not None:
-        col = jax.lax.broadcasted_iota(jnp.int32, local_scores.shape, 1)
-        global_col = col + shard * n_local
-        local_scores = jnp.where(global_col < valid_count, local_scores, -jnp.inf)
-    if recall_target is None:
-        local_top, local_idx = jax.lax.top_k(local_scores, min(k, n_local))  # [B, k]
-    else:
-        local_top, local_idx = jax.lax.approx_max_k(
-            local_scores, min(k, n_local), recall_target=recall_target
+    if recall_target is None and kk * 128 < n_local:
+        # Large shard, exact scan: per-shard tile-max Pallas pipeline (same
+        # ~10x over the dense lax.top_k scan as the single-device path —
+        # ops.pallas.mips_topk).  The shard's valid-row count is dynamic
+        # (depends on axis_index), which the kernel takes as an SMEM scalar.
+        from two_tower_models_tpu.ops.pallas.mips_topk import (
+            mips_topk_exact_pallas,
         )
+
+        local_valid = (
+            None
+            if valid_count is None
+            else jnp.clip(
+                jnp.asarray(valid_count, jnp.int32) - shard * n_local,
+                0,
+                n_local,
+            )
+        )
+        local_idx, local_top, _ = mips_topk_exact_pallas(
+            corpus_shard, query, kk, valid_count=local_valid
+        )
+    else:
+        local_scores = jnp.dot(
+            query, corpus_shard.T, preferred_element_type=jnp.float32
+        )
+        if valid_count is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, local_scores.shape, 1)
+            global_col = col + shard * n_local
+            local_scores = jnp.where(
+                global_col < valid_count, local_scores, -jnp.inf
+            )
+        if recall_target is None:
+            local_top, local_idx = jax.lax.top_k(local_scores, kk)  # [B, k]
+        else:
+            local_top, local_idx = jax.lax.approx_max_k(
+                local_scores, kk, recall_target=recall_target
+            )
     local_emb = jnp.take(corpus_shard, local_idx, axis=0)  # [B, k, DI]
     global_idx = local_idx + shard * n_local
 
