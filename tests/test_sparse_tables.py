@@ -165,3 +165,60 @@ def test_lazy_guards():
         make_train_step(
             CFG, TrainConfig(lazy_table_adam=True, fused_adam=True)
         )
+
+
+def test_lazy_without_history_encoder():
+    """Base preset (no history ids feed the item table) trains on the lazy
+    path and matches dense Adam on step 1."""
+    base_cfg = dataclasses.replace(CFG, history_encoder=None)
+    tcfg_d = TrainConfig(batch_size=16, learning_rate=1e-3, donate_state=False)
+    tcfg_l = dataclasses.replace(tcfg_d, lazy_table_adam=True)
+    batch = make_batch(jax.random.key(5), base_cfg, 16)
+    data = _data_from(batch, base_cfg)
+    idx = jnp.arange(16)
+    s_d, _ = make_train_step(base_cfg, tcfg_d)(
+        create_train_state(jax.random.key(0), base_cfg, tcfg_d), data, idx
+    )
+    s_l, _ = make_train_step(base_cfg, tcfg_l)(
+        create_train_state(jax.random.key(0), base_cfg, tcfg_l), data, idx
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s_l.params),
+        jax.tree_util.tree_leaves_with_path(s_d.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_lazy_all_duplicate_ids():
+    """Worst-case duplication: every lookup hits the SAME id — the whole
+    gradient must land on one row, once (dup slots dropped)."""
+    tcfg_d = TrainConfig(batch_size=16, learning_rate=1e-3, donate_state=False)
+    tcfg_l = dataclasses.replace(tcfg_d, lazy_table_adam=True)
+    batch = make_batch(jax.random.key(6), CFG, 16)
+    batch = batch._replace(
+        user_id=jnp.full_like(batch.user_id, 3),
+        item_id=jnp.full_like(batch.item_id, 5),
+        user_history=jnp.full_like(batch.user_history, 5),
+    )
+    data = _data_from(batch, CFG)
+    idx = jnp.arange(16)
+    s_d, m_d = make_train_step(CFG, tcfg_d)(
+        create_train_state(jax.random.key(0), CFG, tcfg_d), data, idx
+    )
+    s_l, m_l = make_train_step(CFG, tcfg_l)(
+        create_train_state(jax.random.key(0), CFG, tcfg_l), data, idx
+    )
+    np.testing.assert_allclose(float(m_l["loss"]), float(m_d["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_l.params["user_id_table"]),
+        np.asarray(s_d.params["user_id_table"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_l.params["item_id_table"]),
+        np.asarray(s_d.params["item_id_table"]),
+        rtol=1e-5, atol=1e-7,
+    )
