@@ -158,6 +158,33 @@ def test_exact_pallas_matches_dense(c, b, k, tile):
     np.testing.assert_allclose(np.asarray(te), np.asarray(re), rtol=1e-6)
 
 
+def test_exact_pallas_odd_large_batch():
+    """ADVICE r2 (high): B>512 not divisible by 512 (e.g. 520) used to trip
+    tile_max_scores' query-block assert on the default exact path."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+
+    corpus = mips_init(jax.random.key(24), 8000, DI)
+    query = jax.random.normal(jax.random.key(25), (520, DI))
+    ti, ts, _ = mips_topk_exact_pallas(corpus, query, 20, tile=64)
+    ri, rs, _ = mips_topk(corpus, query, 20)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), rtol=1e-6)
+
+
+def test_exact_pallas_mixed_dtype():
+    """ADVICE r2 (low): f32 queries over a bf16 corpus promote to a common
+    dtype before the gather kernel instead of failing inside it."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+
+    corpus = mips_init(jax.random.key(26), 8000, DI).astype(jnp.bfloat16)
+    query = jax.random.normal(jax.random.key(27), (16, DI))  # f32
+    ti, ts, te = mips_topk_exact_pallas(corpus, query, 20, tile=64)
+    ri, rs, re = mips_topk(corpus, query, 20)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), rtol=1e-6)
+    assert te.dtype == corpus.dtype  # embeddings come back in corpus dtype
+
+
 def test_refresh_corpus_matches_item_tower():
     cfg = ModelConfig(
         item_id_hash_size=64,

@@ -164,6 +164,8 @@ def gather_rescore(
     caller's job to mask — they carry real dot products of zero pad rows."""
     b, dp = query.shape
     assert b % _QG == 0 and dp % 128 == 0, (b, dp)
+    # the DMA scratch is allocated in query.dtype and streams corpus rows
+    assert corpus_p.dtype == query.dtype, (corpus_p.dtype, query.dtype)
     k = tile_idx.shape[1]
 
     return pl.pallas_call(
@@ -228,13 +230,33 @@ def mips_topk_exact_pallas(
 
     valid = c if valid_count is None else valid_count
 
+    # Mixed-dtype callers (f32 queries over a bf16 corpus): score in the
+    # promoted dtype, matching what XLA's dense `q @ corpus.T` would compute,
+    # so the bit-exactness claim vs lax.top_k holds (ADVICE r2).
+    ct = jnp.promote_types(query.dtype, corpus.dtype)
+    query = query.astype(ct)
+    corpus_k = corpus.astype(ct)
+
     pad = -(-c // chunk) * chunk - c
-    corpus_pc = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
-    qpad = (-b) % _QG
+    corpus_pc = jnp.pad(corpus_k, ((0, pad), (0, 0))) if pad else corpus_k
+    # Pad the query batch so (a) gather_rescore's _QG grouping divides it and
+    # (b) tile_max_scores' query block divides it (ADVICE r2 high: B=520 used
+    # to trip the qb assert).  Small batches become a single full-width block
+    # (Mosaic allows a block dim equal to the array dim); large ones round up
+    # to the block size, which is already a multiple of _QG.
+    query_block = 512
+    if b <= query_block:
+        qb = b + ((-b) % _QG)
+    else:
+        qb = query_block
+        assert qb % _QG == 0
+    qpad = (-b) % qb
     query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
     bp = query_p.shape[0]
 
-    m = tile_max_scores(query_p, corpus_pc, tile, valid, chunk=chunk)  # [B, NT]
+    m = tile_max_scores(
+        query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb
+    )  # [B, NT]
     _, tile_idx = jax.lax.top_k(m, k)  # [B, k]
 
     # lane-align the width for the gather kernel's row DMAs

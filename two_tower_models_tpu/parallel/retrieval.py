@@ -101,7 +101,8 @@ def make_sharded_recall_fn(
     lookup_strategy: str = "psum",
     tower_tp: bool = False,
 ):
-    """Sharded recall@k: (params, corpus, valid_count, batch) -> scalar.
+    """Sharded recall@k: (params, corpus, batch, valid_count) -> scalar,
+    with ``valid_count`` static (it sets padded-row masking at trace time).
 
     Mirrors ``training.step.make_eval_recall_fn`` semantics (hit = engaged
     item id in the retrieved top-k; only positive examples count) with the

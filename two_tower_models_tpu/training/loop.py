@@ -11,6 +11,7 @@ Run:  python -m two_tower_models_tpu.training.loop --preset two_tower_base_retri
 from __future__ import annotations
 
 import argparse
+import math
 import time
 from dataclasses import replace
 from typing import Optional
@@ -67,9 +68,11 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
     data = make_synthetic_data(
         data_cfg, structured=data_cfg.structured, label_cols=label_cols
     )
-    state = create_train_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
-
     mesh_cfg = exp.mesh
+    state = create_train_state(
+        jax.random.key(train_cfg.seed), model_cfg, train_cfg,
+        pack=mesh_cfg.data * mesh_cfg.model == 1,  # mesh path row-shards instead
+    )
     mesh = None
     if mesh_cfg.data * mesh_cfg.model > 1:
         if train_cfg.fused_adam:
@@ -209,9 +212,12 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         sharded_recall = make_sharded_recall_fn(
             model_cfg, mesh, train_cfg.eval_top_k, tower_tp=mesh_cfg.tower_tp
         )
+        # host_batch_slice also needs the batch to divide process_count()
+        # (ADVICE r2: data=1 x model=N multihost meshes eval too)
+        _ev_mult = math.lcm(mesh_cfg.data, jax.process_count())
         n_eval = max(
-            mesh_cfg.data,
-            min(1024, data.num_samples) // mesh_cfg.data * mesh_cfg.data,
+            _ev_mult,
+            min(1024, data.num_samples) // _ev_mult * _ev_mult,
         )
 
         def eval_recall(params):
