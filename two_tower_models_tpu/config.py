@@ -285,6 +285,16 @@ class TrainConfig:
     # dense path is reference-exact, so off by default.  Single-chip path
     # only; recommended for tables >= ~1M rows (BASELINE.md).
     lazy_table_adam: bool = False
+    # 128-lane-packed storage for big id tables (nn.packed_table): tables
+    # with dim | 128 and >= pack_tables_min_rows rows store P = 128/dim
+    # logical rows per physical lane row.  This makes the Pallas O(updates)
+    # scatter-add layout-clean at ANY table size (round 2's T(8,128) layout
+    # infection padded the whole Adam cluster 2x above 2^22 rows and OOMed —
+    # BASELINE.md).  Numerics-neutral; single-chip path only (the mesh path
+    # row-shards tables instead, and per-shard sizes stay in the unpacked
+    # kernel window).
+    pack_tables: bool = True
+    pack_tables_min_rows: int = 1 << 22
     # One-pass Pallas Adam (ops.pallas.fused_adam): same math/state as
     # optax.adam.  Off by default — measured ~1.1ms SLOWER end-to-end at the
     # bench config: the pallas_call acts as a fusion/scheduling barrier,

@@ -51,6 +51,7 @@ from two_tower_models_tpu.nn.layers import (
     mlp_apply,
     mlp_init,
 )
+from two_tower_models_tpu.nn.packed_table import table_lookup
 
 
 class Batch(NamedTuple):
@@ -179,7 +180,9 @@ def register_user_embedding_arm(name: str, apply_fn, init_fn=None) -> None:
 
 
 def _default_user_embedding(params, cfg, user_id):
-    return embedding_lookup(params["user_id_table"], user_id)
+    # table_lookup dispatches on storage layout: 128-lane-packed for very
+    # large single-chip tables (nn.packed_table), plain otherwise.
+    return table_lookup(params["user_id_table"], user_id, cfg.user_id_embedding_dim)
 
 
 register_user_embedding_arm("table", _default_user_embedding)
@@ -210,7 +213,9 @@ def user_tower_input(
     if cfg.history_encoder is not None:
         # History ids embed through the *item* table
         # (two_tower_with_user_history_encoder.py:105).
-        hist_emb = embedding_lookup(params["item_id_table"], user_history)  # [B,H,DI]
+        hist_emb = table_lookup(
+            params["item_id_table"], user_history, cfg.item_id_embedding_dim
+        )  # [B,H,DI]
         summary = history_encoder_apply(
             params["history_encoder"], hist_emb, cfg.history_encoder, cd
         )  # [B, 2, DI]
@@ -238,7 +243,7 @@ def compute_item_embeddings(
 ) -> jnp.ndarray:
     """Item tower [B, DI] (two_tower_base_retrieval.py:193-219)."""
     cd = cfg.cdtype
-    iid_emb = embedding_lookup(params["item_id_table"], item_id)
+    iid_emb = table_lookup(params["item_id_table"], item_id, cfg.item_id_embedding_dim)
     ifeat_emb = mlp_apply(params["item_features_mlp"], item_features, cd)
     x = jnp.concatenate([iid_emb, ifeat_emb], axis=-1)
     return linear_apply(params["item_tower_head"], x, cd)

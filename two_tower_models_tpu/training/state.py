@@ -30,11 +30,35 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(train_cfg.learning_rate)
 
 
+def maybe_pack_tables(params: Dict, model_cfg: ModelConfig, train_cfg: TrainConfig) -> Dict:
+    """Swap big id tables to 128-lane-packed storage (nn.packed_table) when
+    eligible.  Numerics-neutral; model code dispatches on the leaf layout."""
+    from two_tower_models_tpu.nn.packed_table import pack_factor, pack_table
+
+    if not train_cfg.pack_tables:
+        return params
+    out = dict(params)
+    for name, vocab, dim in (
+        ("user_id_table", model_cfg.user_id_hash_size, model_cfg.user_id_embedding_dim),
+        ("item_id_table", model_cfg.item_id_hash_size, model_cfg.item_id_embedding_dim),
+    ):
+        if vocab >= train_cfg.pack_tables_min_rows and pack_factor(dim) > 1:
+            out[name] = pack_table(out[name])
+    return out
+
+
 def create_train_state(
-    key: jax.Array, model_cfg: ModelConfig, train_cfg: TrainConfig
+    key: jax.Array,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    pack: bool = True,
 ) -> TrainState:
+    """``pack=False`` keeps tables in plain [V, D] storage — required on the
+    mesh path (tables row-shard there) and by the lazy-Adam minitable prep."""
     k_params, k_rng = jax.random.split(key)
     params = init_params(k_params, model_cfg)
+    if pack and not train_cfg.lazy_table_adam:
+        params = maybe_pack_tables(params, model_cfg, train_cfg)
     tx = make_optimizer(train_cfg)
     if train_cfg.lazy_table_adam:
         # Sparse tables keep their Adam moments outside optax (row-gathered
