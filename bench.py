@@ -21,6 +21,25 @@ import time
 # measured with scripts/bench_reference.py on this container (see BASELINE.md).
 REFERENCE_EXAMPLES_PER_SEC = 854.0
 
+# v5e (v5litepod) single-chip peaks, for MFU / bandwidth-utilization context:
+# 197 TFLOP/s bf16 (MXU), 819 GB/s HBM.  The model is lookup/bandwidth-
+# dominated at bench scale, so HBM utilization is the binding roofline;
+# MFU is reported for completeness.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def _cost_analysis(compiled):
+    """(flops, bytes_accessed) per dispatch from XLA's compiled-cost model;
+    (0, 0) when the backend doesn't expose it."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
 
 def _bench_cfg():
     from two_tower_models_tpu.config import Debias, HistoryEncoderConfig, ModelConfig
@@ -108,7 +127,11 @@ def main(argv=None):
     idx = jnp.arange(args.batch_size)
     if tcfg.steps_per_dispatch > 1:
         idx = jnp.tile(idx[None], (tcfg.steps_per_dispatch, 1))
-    step = make_train_step(cfg, tcfg)
+    step_jit = make_train_step(cfg, tcfg)
+    # One explicit lower+compile: the executable is reused for the timing
+    # loop AND exposes XLA's cost analysis (no second trace/compile).
+    step = step_jit.lower(state, data, idx).compile()
+    flops_d, bytes_d = _cost_analysis(step)
 
     for _ in range(args.warmup):
         state, metrics = step(state, data, idx)
@@ -129,16 +152,30 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
     step_s = min(times) / (args.steps * tcfg.steps_per_dispatch)
     examples_per_sec = args.batch_size / step_s
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_examples_per_sec_per_chip",
-                "value": round(examples_per_sec, 1),
-                "unit": "examples/sec",
-                "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 2),
-            }
-        )
-    )
+
+    # Hardware-relative context (VERDICT r2 #5): per-step FLOPs and HBM bytes
+    # from XLA's compiled cost model -> MFU and HBM-BW utilization.  The
+    # train step is lookup/bandwidth-dominated (embedding gathers + scatter
+    # backward + Adam state streaming), so HBM utilization is the meaningful
+    # roofline; MFU is small by design, not by accident.
+    k = tcfg.steps_per_dispatch
+    mfu = flops_d / k / step_s / V5E_PEAK_BF16_FLOPS
+    hbm_util = bytes_d / k / step_s / V5E_PEAK_HBM_BYTES
+
+    out = {
+        "metric": "train_step_examples_per_sec_per_chip",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/sec",
+        "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 2),
+        # The headline "loss" sums the reference's SUM-reduced debias aux
+        # MSEs, which swamp the CE at B=4096 (documented pathology,
+        # BASELINE.md) — softmax_ce is the comparable training-quality
+        # number.
+        "softmax_ce": round(float(metrics["softmax_ce"]), 4),
+        "mfu": round(mfu, 4),
+        "hbm_bw_util": round(hbm_util, 3),
+    }
+    print(json.dumps(out))
     print(
         json.dumps(
             {
@@ -147,6 +184,9 @@ def main(argv=None):
                     "batch_size": args.batch_size,
                     "mean_step_ms": round(step_s * 1e3, 3),
                     "loss": float(metrics["loss"]),
+                    "softmax_ce": float(metrics["softmax_ce"]),
+                    "flops_per_step": flops_d / k,
+                    "hbm_bytes_per_step": bytes_d / k,
                     "compute_dtype": cfg.compute_dtype,
                 }
             }

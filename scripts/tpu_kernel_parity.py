@@ -198,6 +198,57 @@ def main():
         1e-5,
     )
 
+    # ---- packed-table lookup VJP (kernel path at big vocab) ---------------
+    from two_tower_models_tpu.nn.packed_table import (
+        pack_table,
+        packed_embedding_lookup,
+        unpack_table,
+    )
+
+    pvv = max(vv, 1 << 18)
+    ptable = jax.random.normal(jax.random.key(14), (pvv, 64))
+    p_ids = jax.random.randint(jax.random.key(15), (4096,), 0, pvv)
+
+    def pk_loss(tp):
+        return jnp.sum(packed_embedding_lookup(tp, p_ids, 64) ** 2)
+
+    def pk_plain(t):
+        return jnp.sum(jnp.take(t, p_ids, axis=0) ** 2)
+
+    g_packed = jax.jit(jax.grad(pk_loss))(pack_table(ptable))
+    ok &= check(
+        "packed lookup VJP (kernel path) vs autodiff",
+        unpack_table(g_packed, pvv, 64),
+        jax.jit(jax.grad(pk_plain))(ptable),
+        1e-5,
+    )
+
+    # ---- in-place row writer (lazy-Adam write-back) -----------------------
+    from two_tower_models_tpu.ops.pallas.rows_write import (
+        merge_lane_blocks,
+        rows_write,
+        rows_write_reference,
+    )
+
+    rw_v, rw_n = 1 << 19, 65536  # physical rows (128-wide), update count
+    rw_dst = jax.random.normal(jax.random.key(16), (rw_v, 128), jnp.float32)
+    rw_lids = jnp.sort(
+        jax.random.randint(jax.random.key(17), (rw_n,), 0, rw_v * 2)
+    )  # logical ids at P=2
+    rw_dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), rw_lids[1:] == rw_lids[:-1]]
+    )
+    rw_rows = jax.random.normal(jax.random.key(18), (rw_n, 64), jnp.float32)
+    rw_pids, rw_bits, rw_vals = merge_lane_blocks(rw_lids, rw_dup, rw_rows, 2)
+    ok &= check(
+        "rows_write 512k f32",
+        jax.jit(lambda d, i, b, v: rows_write(d, i, b, v, block_dim=64))(
+            rw_dst, rw_pids, rw_bits, rw_vals
+        ),
+        rows_write_reference(rw_dst, rw_pids, rw_bits, rw_vals, 64),
+        1e-6,
+    )
+
     # ---- blockwise attention: flash backward -----------------------------
     from two_tower_models_tpu.ops.pallas.history_attention import (
         attention_reference,

@@ -192,6 +192,54 @@ def test_lazy_without_history_encoder():
         )
 
 
+def test_lazy_packed_matches_lazy_plain():
+    """Lazy Adam over 128-lane-packed tables (minitable gather + Pallas
+    rows_write write-back) follows the SAME trajectory as lazy Adam over
+    plain storage, duplicates and partner-lane rows included."""
+    from two_tower_models_tpu.nn.packed_table import is_packed, unpack_table
+
+    tcfg_plain = TrainConfig(
+        batch_size=16, learning_rate=1e-3, donate_state=False,
+        lazy_table_adam=True, pack_tables=False,
+    )
+    tcfg_packed = dataclasses.replace(
+        tcfg_plain, pack_tables=True, pack_tables_min_rows=0
+    )
+    s_pl = create_train_state(jax.random.key(0), CFG, tcfg_plain)
+    s_pk = create_train_state(jax.random.key(0), CFG, tcfg_packed)
+    assert is_packed(s_pk.params["user_id_table"], CFG.user_id_embedding_dim)
+    step_pl = make_train_step(CFG, tcfg_plain)
+    step_pk = make_train_step(CFG, tcfg_packed)
+    for i in range(3):
+        batch = make_batch(jax.random.key(10 + i), CFG, 16)
+        # force duplicates + adjacent ids sharing a physical row (P=8 at D=16)
+        batch = batch._replace(
+            user_id=batch.user_id.at[0].set(7).at[1].set(7).at[2].set(6),
+            item_id=batch.item_id.at[0].set(9).at[1].set(10),
+        )
+        data = _data_from(batch, CFG)
+        idx = jnp.arange(16)
+        s_pl, m_pl = step_pl(s_pl, data, idx)
+        s_pk, m_pk = step_pk(s_pk, data, idx)
+    np.testing.assert_allclose(float(m_pk["loss"]), float(m_pl["loss"]), rtol=1e-6)
+    for name, vocab, dim in (
+        ("user_id_table", CFG.user_id_hash_size, CFG.user_id_embedding_dim),
+        ("item_id_table", CFG.item_id_hash_size, CFG.item_id_embedding_dim),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(unpack_table(s_pk.params[name], vocab, dim)),
+            np.asarray(s_pl.params[name]),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                unpack_table(s_pk.opt_state["tables"]["nu"][name], vocab, dim)
+            ),
+            np.asarray(s_pl.opt_state["tables"]["nu"][name]),
+            rtol=1e-6, atol=1e-7, err_msg=name + ":nu",
+        )
+
+
 def test_lazy_all_duplicate_ids():
     """Worst-case duplication: every lookup hits the SAME id — the whole
     gradient must land on one row, once (dup slots dropped)."""

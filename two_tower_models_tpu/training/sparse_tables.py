@@ -79,13 +79,24 @@ def build_minibatch(
 
     params2 = dict(params)
     meta = {}
+    dims = {
+        "user_id_table": model_cfg.user_id_embedding_dim,
+        "item_id_table": model_cfg.item_id_embedding_dim,
+    }
 
     def prep(name, ids):
+        from two_tower_models_tpu.nn.packed_table import _packed_gather, is_packed
+
         s = jnp.sort(ids)
         dup = jnp.concatenate(
             [jnp.zeros((1,), bool), s[1:] == s[:-1]]
         )
-        params2[name] = jnp.take(params[name], s, axis=0)  # [N, D]
+        table = params[name]
+        if is_packed(table, dims[name]):
+            # minitables are LOGICAL [N, D] rows regardless of storage layout
+            params2[name] = _packed_gather(table, s, dims[name])
+        else:
+            params2[name] = jnp.take(table, s, axis=0)  # [N, D]
         meta[name] = (s, dup)
         return s
 
@@ -124,10 +135,25 @@ def apply_sparse_adam(
     GLOBAL step, the standard lazy-Adam choice); duplicate slots carry zero
     gradient and are dropped at write-back (their first slot holds the full
     accumulated row gradient).
+
+    Write-back: for 128-lane-packed tables (nn.packed_table) the touched
+    rows stream through the O(updates) Pallas in-place writer
+    (ops.pallas.rows_write) — XLA's scatter-SET costs O(V) (235 ms
+    standalone at 4M rows for 139k updates, BASELINE.md) and was the whole
+    reason lazy Adam measured SLOWER than dense in round 2.  Plain tables
+    keep the XLA scatter (small-table path).
     """
+    d = g_mini.shape[-1]
     g = g_mini.astype(jnp.float32)
-    rows_mu = jnp.take(mu, sorted_ids, axis=0)
-    rows_nu = jnp.take(nu, sorted_ids, axis=0)
+    packed = table.shape[-1] != d
+    if packed:
+        from two_tower_models_tpu.nn.packed_table import _packed_gather
+
+        rows_mu = _packed_gather(mu, sorted_ids, d)
+        rows_nu = _packed_gather(nu, sorted_ids, d)
+    else:
+        rows_mu = jnp.take(mu, sorted_ids, axis=0)
+        rows_nu = jnp.take(nu, sorted_ids, axis=0)
     mu2 = b1 * rows_mu + (1.0 - b1) * g
     nu2 = b2 * rows_nu + (1.0 - b2) * (g * g)
     t = t.astype(jnp.float32)
@@ -135,6 +161,24 @@ def apply_sparse_adam(
     nu_hat = nu2 / (1.0 - b2**t)
     upd = train_cfg.learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
     new_rows = mini_rows.astype(jnp.float32) - upd
+
+    if packed:
+        from two_tower_models_tpu.ops.pallas.rows_write import (
+            merge_lane_blocks,
+            rows_write,
+        )
+
+        pack = table.shape[-1] // d
+        for_each = (
+            (table, new_rows.astype(table.dtype)),
+            (mu, mu2),
+            (nu, nu2),
+        )
+        out = []
+        for dst, rows in for_each:
+            pids, bits, vals = merge_lane_blocks(sorted_ids, dup_mask, rows, pack)
+            out.append(rows_write(dst, pids, bits, vals, block_dim=d))
+        return tuple(out)
 
     v = table.shape[0]
     w = jnp.where(dup_mask, v, sorted_ids)  # out-of-bounds => dropped

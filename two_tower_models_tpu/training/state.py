@@ -54,10 +54,12 @@ def create_train_state(
     pack: bool = True,
 ) -> TrainState:
     """``pack=False`` keeps tables in plain [V, D] storage — required on the
-    mesh path (tables row-shard there) and by the lazy-Adam minitable prep."""
+    mesh path (tables row-shard there).  The lazy-Adam path composes with
+    packing: minitables gather logically and the write-back streams through
+    the Pallas in-place row writer (training.sparse_tables)."""
     k_params, k_rng = jax.random.split(key)
     params = init_params(k_params, model_cfg)
-    if pack and not train_cfg.lazy_table_adam:
+    if pack:
         params = maybe_pack_tables(params, model_cfg, train_cfg)
     tx = make_optimizer(train_cfg)
     if train_cfg.lazy_table_adam:
