@@ -1,0 +1,219 @@
+"""Per-step collective-traffic accounting for the explicit sharded train step.
+
+Every collective in ``parallel.train_step.make_sharded_train_step`` is a
+static function of (model config, mesh, global batch): this module enumerates
+them with byte counts, so the multi-chip scaling story is FALSIFIABLE —
+``tests/test_comms.py`` checks the predicted bytes against the collectives
+XLA actually emits for the virtual-mesh program, and
+``scripts/scaling_prediction.py`` turns them into a predicted 1 -> N chip
+efficiency under an ICI bandwidth model (BASELINE.md "predicted scaling").
+
+Inventory (flagship preset, psum lookup, global negatives — the default
+layout; B_l = per-chip batch, B_g = global batch, n_d/n_m = mesh axes):
+
+  forward
+    psum    [B_l,   DU] f32   user-id lookup combine        (model axis)
+    psum    [B_l*H, DI] f32   history-id lookup combine     (model axis)
+    psum    [B_l,   DI] f32   item-id lookup combine        (model axis)
+    all_gather [B_l, DI] -> [B_g, DI] cdtype  negative pool (data axis)
+    all_gather [B_l]     -> [B_g]     f32     nuv max-norm  (data axis)
+  backward (transposes)
+    psum    same three lookup shapes AGAIN — the transpose of psum is psum
+            (each shard's x feeds every shard's output; verified in the
+            compiled virtual-mesh HLO, which shows the second model-axis
+            all-reduce tuple with identical shapes)
+    reduce_scatter [B_g, DI] -> [B_l, DI]  d(negatives)      (data axis)
+    reduce_scatter [B_g]     -> [B_l]      d(nuv gather)     (data axis)
+  gradient reduction (parallel/train_step.py reduce_grad)
+    psum    every leaf: replicated bytes + per-chip table-shard bytes (data)
+    pmean   replicated leaves only                            (model axis)
+  (+ ~6 scalar psums for loss/metrics — counted as one 24-byte lump)
+
+Wire-cost model: ring algorithms (the scaling-book formulas) —
+  all_reduce(A)       2 * (n-1)/n * A   sent per chip
+  all_gather(shard s) (n-1) * s         sent per chip
+  reduce_scatter(A)   (n-1)/n * A       sent per chip
+  all_to_all(A)       (n-1)/n * A       sent per chip
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from two_tower_models_tpu.config import MeshConfig, ModelConfig
+from two_tower_models_tpu.parallel.sharding import (
+    _TABLE_KEYS,
+    _path_parts,
+    _tp_mlp_spec,
+)
+
+# v5e ICI: 1600 Gbps aggregate interchip bandwidth per chip (public spec);
+# the efficiency prediction uses it as the per-chip send bandwidth.  A 2D
+# torus gives each chip multiple links, so concurrent ring phases on
+# different axes can exceed this on real slices — the prediction is
+# conservative.
+V5E_ICI_BYTES_PER_S = 200e9
+# per-collective launch/sync latency (ICI hop + runtime), conservative
+COLLECTIVE_LATENCY_S = 2e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class Collective:
+    name: str
+    op: str  # all_reduce | all_gather | reduce_scatter | all_to_all
+    axis: str  # 'data' | 'model'
+    n: int  # participants
+    payload_bytes: int  # per-chip INPUT bytes handed to the collective
+
+    @property
+    def wire_bytes(self) -> int:
+        """Bytes SENT per chip under ring algorithms."""
+        n, a = self.n, self.payload_bytes
+        if n <= 1:
+            return 0
+        if self.op == "all_reduce":
+            return int(2 * (n - 1) / n * a)
+        if self.op == "all_gather":
+            return int((n - 1) * a)
+        if self.op in ("reduce_scatter", "all_to_all"):
+            return int((n - 1) / n * a)
+        raise ValueError(self.op)
+
+    @property
+    def hlo_result_bytes(self) -> int:
+        """Bytes of the collective's RESULT array in the SPMD program — the
+        quantity test_comms.py extracts from the compiled HLO."""
+        n, a = self.n, self.payload_bytes
+        if self.op == "all_gather":
+            return a * n
+        if self.op == "reduce_scatter":
+            return a // n
+        return a  # all_reduce / all_to_all: result == operand
+
+
+def param_byte_split(model_cfg: ModelConfig, mesh_cfg: MeshConfig):
+    """(replicated_bytes, table_shard_bytes_per_chip, tp_shard_bytes_per_chip)
+    of the parameter pytree, from shapes only (jax.eval_shape — no init)."""
+    from two_tower_models_tpu.models.two_tower import init_params
+
+    shapes = jax.eval_shape(
+        lambda: init_params(jax.random.key(0), model_cfg)
+    )
+    rep = tab = tp = 0
+    n_m = max(mesh_cfg.model, 1)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(shapes):
+        parts = _path_parts(path)
+        nbytes = leaf.size * leaf.dtype.itemsize
+        spec = _tp_mlp_spec(parts) if mesh_cfg.tower_tp else None
+        if parts[0] in _TABLE_KEYS:
+            tab += nbytes // n_m
+        elif spec is not None and any(s is not None for s in spec):
+            tp += nbytes // n_m
+        else:
+            rep += nbytes
+    return rep, tab, tp
+
+
+def step_collectives(
+    model_cfg: ModelConfig,
+    mesh_cfg: MeshConfig,
+    global_batch: int,
+    lookup_strategy: str = "psum",
+) -> List[Collective]:
+    """All collectives of ONE explicit-path train step, per chip."""
+    n_d, n_m = mesh_cfg.data, mesh_cfg.model
+    assert global_batch % max(n_d, 1) == 0
+    b_l = global_batch // max(n_d, 1)
+    du = model_cfg.user_id_embedding_dim
+    di = model_cfg.item_id_embedding_dim
+    h = model_cfg.history_len if model_cfg.history_encoder is not None else 0
+    f32, cb = 4, jnp.dtype(model_cfg.cdtype).itemsize
+    out: List[Collective] = []
+    add = lambda *a: out.append(Collective(*a))
+
+    # --- sharded-table lookups over `model` (forward AND backward: the
+    # transpose of psum is psum, of all_to_all is all_to_all) ---
+    if n_m > 1:
+        if lookup_strategy == "psum":
+            for direction in ("", ":d"):
+                add(f"lookup:user_id{direction}", "all_reduce", "model", n_m,
+                    b_l * du * f32)
+                if h:
+                    add(f"lookup:history{direction}", "all_reduce", "model", n_m,
+                        b_l * h * di * f32)
+                add(f"lookup:item_id{direction}", "all_reduce", "model", n_m,
+                    b_l * di * f32)
+        else:  # all_to_all: ids there (+mask), rows back; backward reverses rows
+            for name, cnt, d in (
+                ("user_id", b_l, du),
+                ("history", b_l * h, di),
+                ("item_id", b_l, di),
+            ):
+                if cnt == 0:
+                    continue
+                add(f"lookup:{name}:ids", "all_to_all", "model", n_m, n_m * cnt * 4 + n_m * cnt)
+                add(f"lookup:{name}:rows", "all_to_all", "model", n_m, n_m * cnt * d * f32)
+                add(f"lookup:{name}:d(rows)", "all_to_all", "model", n_m, n_m * cnt * d * f32)
+
+    # --- forward: TP feature MLPs (one psum per row-split layer out) ---
+    if mesh_cfg.tower_tp and n_m > 1:
+        add("tp:user_mlp:psum", "all_reduce", "model", n_m, b_l * du * f32)
+        add("tp:item_mlp:psum", "all_reduce", "model", n_m, b_l * di * f32)
+        # backward: dx of the row-split layer psums partial products
+        add("tp:user_mlp:d(x)", "all_reduce", "model", n_m,
+            b_l * model_cfg.user_features_size * f32)
+        add("tp:item_mlp:d(x)", "all_reduce", "model", n_m,
+            b_l * model_cfg.item_features_size * f32)
+
+    # --- forward: cross-chip negative pool + nuv max-norm over `data` ---
+    if n_d > 1 and mesh_cfg.global_negatives:
+        add("negatives:all_gather", "all_gather", "data", n_d, b_l * di * cb)
+        add("negatives:d(gather)", "reduce_scatter", "data", n_d, n_d * b_l * di * cb)
+    if n_d > 1 and model_cfg.light_ranker is None:
+        add("nuv:all_gather", "all_gather", "data", n_d, b_l * f32)
+        add("nuv:d(gather)", "reduce_scatter", "data", n_d, n_d * b_l * f32)
+
+    # --- gradient reduction ---
+    rep, tab, tp = param_byte_split(model_cfg, mesh_cfg)
+    if n_d > 1:
+        add("grads:psum(replicated+tp)", "all_reduce", "data", n_d, rep + tp)
+        if n_m > 1:
+            add("grads:psum(table shards)", "all_reduce", "data", n_d, tab)
+        else:
+            add("grads:psum(tables)", "all_reduce", "data", n_d, tab)
+    if n_m > 1:
+        add("grads:pmean(replicated)", "all_reduce", "model", n_m, rep)
+
+    # --- scalar losses/metrics lump (loss, aux, ce, nuv_mean, ...) ---
+    if n_d > 1:
+        add("metrics:scalars", "all_reduce", "data", n_d, 6 * f32)
+    return out
+
+
+def predict_step_time(
+    collectives: List[Collective],
+    compute_s: float,
+    ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
+    overlap: float = 0.0,
+) -> dict:
+    """Step-time / efficiency model.
+
+    compute_s: measured single-chip step time at the PER-CHIP batch (weak
+    scaling keeps it constant; the [B_l, B_g] loss growth is added by the
+    caller if material).  overlap: fraction of comm time hidden under
+    compute (0 = serial, 1 = fully overlapped).
+    """
+    wire = sum(c.wire_bytes for c in collectives)
+    lat = sum(1 for c in collectives if c.n > 1) * COLLECTIVE_LATENCY_S
+    comm_s = wire / ici_bytes_per_s + lat
+    step_s = compute_s + (1.0 - overlap) * comm_s
+    return {
+        "wire_bytes_per_chip": wire,
+        "comm_s": comm_s,
+        "step_s": step_s,
+        "efficiency": compute_s / step_s,
+    }

@@ -486,4 +486,5 @@ def make_sharded_train_step(
             _cache["fn"] = build(state)
         return _cache["fn"](state, batch)
 
+    step.build = build  # jit handle for lowering/HLO inspection (test_comms)
     return step
