@@ -123,6 +123,43 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
 
 
+def test_async_checkpoint_overlaps_training(tmp_path):
+    """Async save (VERDICT r2 #7): training continues (with buffer DONATION
+    overwriting device arrays) while the write completes in the background,
+    and the checkpoint still captures the exact state at save time."""
+    from two_tower_models_tpu.training.checkpoint import CheckpointManager
+    from two_tower_models_tpu.training.data import make_synthetic_data
+    from two_tower_models_tpu.training.state import create_train_state
+    from two_tower_models_tpu.training.step import make_train_step
+
+    tcfg = TrainConfig(batch_size=8, donate_state=True)
+    data = make_synthetic_data(SMALL_DATA, label_cols=SMALL_MODEL.num_tasks)
+    state = create_train_state(jax.random.key(0), SMALL_MODEL, tcfg)
+    step = make_train_step(SMALL_MODEL, tcfg)
+    state, _ = step(state, data, jnp.arange(8))
+
+    snap = jax.device_get(state.params["item_tower_head"]["w"])
+    mgr = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    assert mgr.save(state, force=True)
+    # keep training immediately: donation overwrites the saved state's
+    # device buffers while the background write is (possibly) in flight
+    for i in range(3):
+        state, _ = step(state, data, jnp.arange(8))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    template = create_train_state(jax.random.key(1), SMALL_MODEL, tcfg)
+    mgr2 = CheckpointManager(str(tmp_path / "ck"))
+    restored = mgr2.restore_latest(template)
+    mgr2.close()
+    assert restored is not None and int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["item_tower_head"]["w"]), snap
+    )
+    # and the post-save training really moved on
+    assert int(state.step) == 4
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
 def test_sharded_checkpoint_roundtrip_across_mesh_shapes(tmp_path):
     """Save a (2,2)-mesh-sharded TrainState; restore onto (2,2) AND onto a

@@ -5,7 +5,14 @@ three tensors are invisible even to ``state_dict`` (SURVEY §5).  Here the full
 ``TrainState`` pytree (params, optimizer state, step, RNG key) round-trips
 atomically; saves are sharding-aware (each host writes its shards) because
 orbax serializes the arrays' shardings with them.
-"""
+
+Saves are ASYNC (VERDICT r2 #7): ``save()`` blocks only for the
+device->host snapshot (which also makes it safe against the train loop's
+buffer donation — the next step may overwrite device buffers freely), and
+the serialization/write runs on a background thread.  Measured at the
+134M-param config (scripts/bench_checkpoint.py): the blocking portion is a
+small fraction of the end-to-end write; training steps proceed during the
+write (overlap test in tests/test_training.py)."""
 
 from __future__ import annotations
 
@@ -18,17 +25,27 @@ from two_tower_models_tpu.training.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        async_save: bool = True,
+    ):
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
     def save(self, state: TrainState, force: bool = False) -> bool:
+        """Async: returns once the state is snapshotted to host; the write
+        continues in the background (wait with ``wait_until_finished``/
+        ``close``).  Returns False if this step is already saved."""
         step = int(state.step)
         # Idempotent: a resumed run that trains zero new steps re-saves its
         # restored step at exit — orbax raises StepAlreadyExistsError even
@@ -40,7 +57,12 @@ class CheckpointManager:
         )
         return bool(saved)
 
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
     def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        # an in-flight async save must land before it can be the latest step
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return None
