@@ -1,0 +1,120 @@
+"""Raw-key ingest (training.ingest): the native hasher wired into the data
+path and the serving query (VERDICT r2 #6)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from two_tower_models_tpu.config import preset
+from two_tower_models_tpu.native import hash_ids, hash_strings
+from two_tower_models_tpu.training.ingest import (
+    ITEM_TABLE_SEED,
+    USER_TABLE_SEED,
+    hash_item_keys,
+    hash_user_keys,
+    ingest_example_keys,
+)
+
+CFG = preset(
+    "two_tower_with_user_history_encoder",
+    history_len=4,
+    user_id_hash_size=128,
+    item_id_hash_size=64,
+    user_id_embedding_dim=16,
+    item_id_embedding_dim=16,
+)
+
+
+def test_ingest_shapes_ranges_and_stability():
+    users = np.array([f"u{i}" for i in range(10)])
+    items = np.array([f"i{i}" for i in range(10)])
+    hist = np.array([[f"i{i + j}" for j in range(4)] for i in range(10)])
+    uid, iid, h = ingest_example_keys(CFG, users, items, hist)
+    assert uid.shape == (10,) and iid.shape == (10,) and h.shape == (10, 4)
+    assert uid.dtype == np.int32
+    assert (uid >= 0).all() and (uid < CFG.user_id_hash_size).all()
+    assert (iid >= 0).all() and (iid < CFG.item_id_hash_size).all()
+    assert (h >= 0).all() and (h < CFG.item_id_hash_size).all()
+    # deterministic across calls (stable seeds)
+    uid2, iid2, h2 = ingest_example_keys(CFG, users, items, hist)
+    np.testing.assert_array_equal(uid, uid2)
+    np.testing.assert_array_equal(h, h2)
+    # history hashes with the ITEM seed: same key -> same slot as item keys
+    np.testing.assert_array_equal(h[:, 0], hash_item_keys(hist[:, 0], CFG))
+
+
+def test_ingest_integer_and_string_keys_dispatch():
+    int_keys = np.arange(20, dtype=np.uint64) + 10**12
+    via_cfg = hash_user_keys(int_keys, CFG)
+    direct = hash_ids(int_keys, CFG.user_id_hash_size, seed=USER_TABLE_SEED)
+    np.testing.assert_array_equal(via_cfg, direct)
+
+    str_keys = [f"k{i}" for i in range(20)]
+    via_cfg_s = hash_item_keys(np.array(str_keys), CFG)
+    direct_s = hash_strings(str_keys, CFG.item_id_hash_size, seed=ITEM_TABLE_SEED)
+    np.testing.assert_array_equal(via_cfg_s, direct_s)
+
+    with pytest.raises(TypeError):
+        hash_user_keys(np.zeros(3, np.float32), CFG)
+
+
+def test_user_item_seeds_decorrelate():
+    keys = np.array([f"key{i}" for i in range(200)])
+    cfg = preset("two_tower_base_retrieval", user_id_hash_size=64, item_id_hash_size=64)
+    u = hash_user_keys(keys, cfg)
+    i = hash_item_keys(keys, cfg)
+    assert (u == i).mean() < 0.2  # same raw keys land on different slot maps
+
+
+def test_training_on_ingested_batch():
+    from two_tower_models_tpu.models import two_tower
+    from two_tower_models_tpu.models.two_tower import Batch
+
+    rng = np.random.default_rng(0)
+    users = np.array([f"user{i}" for i in range(16)])
+    items = np.array([f"item{i}" for i in range(16)])
+    hist = np.array([[f"item{(i + j) % 16}" for j in range(4)] for i in range(16)])
+    uid, iid, h = ingest_example_keys(CFG, users, items, hist)
+    batch = Batch(
+        user_id=jnp.asarray(uid),
+        user_features=jnp.asarray(rng.standard_normal((16, CFG.user_features_size)), jnp.float32),
+        user_history=jnp.asarray(h),
+        item_id=jnp.asarray(iid),
+        item_features=jnp.asarray(rng.standard_normal((16, CFG.item_features_size)), jnp.float32),
+        position=jnp.zeros((16,), jnp.int32),
+        labels=jnp.ones((16, CFG.num_tasks), jnp.float32),
+    )
+    import jax
+
+    params = two_tower.init_params(jax.random.key(0), CFG)
+    loss, _ = two_tower.train_loss(params, CFG, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_serving_query_raw_matches_prehashed():
+    import jax
+
+    from two_tower_models_tpu.serving import RetrievalEngine
+    from two_tower_models_tpu.models import two_tower
+
+    params = two_tower.init_params(jax.random.key(0), CFG)
+    catalog_keys = np.array([f"item{i}" for i in range(40)])
+    catalog_ids = jnp.asarray(hash_item_keys(catalog_keys, CFG))
+    catalog_features = jnp.asarray(
+        np.random.default_rng(1).standard_normal((40, CFG.item_features_size)),
+        jnp.float32,
+    )
+    engine = RetrievalEngine.from_params(params, CFG, catalog_ids, catalog_features)
+
+    users = np.array([f"user{i}" for i in range(8)])
+    hist = np.array([[f"item{(i + j) % 40}" for j in range(4)] for i in range(8)])
+    feats = jnp.asarray(
+        np.random.default_rng(2).standard_normal((8, CFG.user_features_size)),
+        jnp.float32,
+    )
+    raw = engine.query_raw(users, feats, hist)
+    pre = engine.query(
+        jnp.asarray(hash_user_keys(users, CFG)), feats,
+        jnp.asarray(hash_item_keys(hist, CFG)),
+    )
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(pre))

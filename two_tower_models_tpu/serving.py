@@ -117,6 +117,26 @@ class RetrievalEngine:
             self._params, self._corpus, user_id, user_features, user_history
         )
 
+    def query_raw(
+        self,
+        user_keys,  # [B] raw keys: uint64 surrogate ids or strings/bytes
+        user_features: jnp.ndarray,  # [B, IU]
+        history_keys,  # [B, H] raw item keys, newest first
+    ) -> jnp.ndarray:
+        """Serve from RAW entity keys: the same host-side C++ hash the
+        training ingest uses (training.ingest — fixed per-table seeds) maps
+        keys to table slots, then the compiled query runs unchanged."""
+        from two_tower_models_tpu.training.ingest import (
+            hash_item_keys,
+            hash_user_keys,
+        )
+
+        return self.query(
+            jnp.asarray(hash_user_keys(user_keys, self._cfg)),
+            user_features,
+            jnp.asarray(hash_item_keys(history_keys, self._cfg)),
+        )
+
     def warmup(self, batch_size: int) -> None:
         """Compile the query function for a batch size ahead of traffic."""
         cfg = self._cfg
