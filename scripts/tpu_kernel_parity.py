@@ -308,6 +308,19 @@ def main():
     ok &= match == 1.0
     ok &= check("mips topk exact scores", ts, rs, 1e-6)
 
+    # ---- tournament select (exact top-k pass 2) ---------------------------
+    from two_tower_models_tpu.ops.pallas.mips_topk import select_topk_t
+
+    st_x = jax.random.normal(jax.random.key(19), (512, 1024))
+    st_x = jnp.round(st_x * 8) / 8  # force ties
+    st_v, st_i = jax.jit(lambda x: select_topk_t(x, 64))(st_x.T)
+    st_rv, st_ri = jax.lax.top_k(st_x, 64)
+    st_match = float(np.mean(np.asarray(st_i.T) == np.asarray(st_ri)))
+    status = "ok" if st_match == 1.0 else "FAIL"
+    print(f"{status:4s} tournament select indices: match {st_match:.6f} (want 1.0)")
+    ok &= st_match == 1.0
+    ok &= check("tournament select values", st_v.T, st_rv, 1e-7)
+
     # ---- fused adam -------------------------------------------------------
     import optax
 

@@ -158,6 +158,25 @@ def test_exact_pallas_matches_dense(c, b, k, tile):
     np.testing.assert_allclose(np.asarray(te), np.asarray(re), rtol=1e-6)
 
 
+@pytest.mark.parametrize("nt,b,k", [(64, 8, 5), (256, 130, 16)])
+def test_select_topk_matches_lax(nt, b, k):
+    """Tournament select == lax.top_k bit-exactly, including tie order
+    (lowest index first) and duplicated values."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import select_topk_t
+
+    x = jax.random.normal(jax.random.key(30), (b, nt))
+    # adversarial ties: quantize hard so many values collide, plus rows of
+    # all-equal values
+    x = jnp.round(x * 4) / 4
+    x = x.at[0].set(0.0)
+    spad = 0 if b <= 128 else (-b) % 128
+    xt = jnp.pad(x.T, ((0, 0), (0, spad)), constant_values=float("-inf"))
+    val_t, idx_t = select_topk_t(xt, k)
+    rs, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(idx_t[:, :b].T), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
+
+
 def test_exact_pallas_odd_large_batch():
     """ADVICE r2 (high): B>512 not divisible by 512 (e.g. 520) used to trip
     tile_max_scores' query-block assert on the default exact path."""

@@ -68,9 +68,12 @@ def tile_max_scores(
     valid_count,  # int or traced int32 scalar (dynamic inside shard_map)
     chunk: int = 2048,
     query_block: int = 512,
+    transposed: bool = False,
 ) -> jnp.ndarray:
     """m[b, t] = max over the t-th corpus tile of <query_b, corpus_row> with
-    rows >= valid_count masked to -inf.  Returns [B, C_pad // tile] f32."""
+    rows >= valid_count masked to -inf.  Returns [B, C_pad // tile] f32, or
+    the kernel's native [C_pad // tile, B] layout when ``transposed`` (the
+    tournament-select pass consumes that directly — no XLA transpose)."""
     b, d = query.shape
     c_pad = corpus_p.shape[0]
     assert c_pad % chunk == 0 and chunk % tile == 0
@@ -96,7 +99,68 @@ def tile_max_scores(
         ),
         interpret=_interpret(),
     )(valid, query, corpus_p)
-    return m_t.T
+    return m_t if transposed else m_t.T
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: k-selection over the tile maxes (tournament select)
+# ---------------------------------------------------------------------------
+#
+# lax.top_k over the [B, NT] tile maxes was 10.6 ms of the 32.6 ms exact
+# pipeline at 1M x 64 (BASELINE.md pass decomposition) — XLA's top-k is
+# ~linear in row width with a large constant.  This kernel runs k rounds of
+# (vector max -> lowest-index argmax -> mask) over a sublane-transposed
+# [NT, QB] block that never leaves VMEM: each round is a handful of
+# elementwise/reduce passes, fully vectorized across the 128 query lanes.
+# Tie behavior matches lax.top_k exactly (lowest index first — the argmax
+# takes min over iota at the max value), so the pipeline stays bit-exact.
+# Selection order IS descending score order, like lax.top_k.
+
+
+def _select_topk_kernel(x_ref, idx_ref, val_ref, *, k: int):
+    nt, qb = x_ref.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nt, qb), 0)
+
+    def body(j, x):
+        m = jnp.max(x, axis=0, keepdims=True)  # [1, QB]
+        i = jnp.min(jnp.where(x == m, iota, nt), axis=0, keepdims=True)
+        idx_ref[pl.ds(j, 1), :] = i
+        val_ref[pl.ds(j, 1), :] = m
+        return jnp.where(iota == i, _NEG_INF, x)
+
+    jax.lax.fori_loop(0, k, body, x_ref[...])
+
+
+def select_topk_t(
+    scores_t: jnp.ndarray,  # [NT, B] f32 — TRANSPOSED scores (column/query)
+    k: int,
+    query_block: int = 128,
+):
+    """(values [k, B], indices [k, B]) of the per-column top-k, descending,
+    ties broken by lowest index — bit-identical to lax.top_k on scores_t.T.
+    Rows beyond a multiple of 8 are padded with -inf by the caller."""
+    nt, b = scores_t.shape
+    qb = b if b <= query_block else query_block
+    assert b % qb == 0 and nt % 8 == 0, (nt, b)
+    assert k <= nt
+    idx, val = pl.pallas_call(
+        functools.partial(_select_topk_kernel, k=k),
+        grid=(b // qb,),
+        in_specs=[pl.BlockSpec((nt, qb), lambda q: (0, q))],
+        out_specs=[
+            pl.BlockSpec((k, qb), lambda q: (0, q)),
+            pl.BlockSpec((k, qb), lambda q: (0, q)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(scores_t)
+    return val, idx
 
 
 # ---------------------------------------------------------------------------
@@ -254,10 +318,20 @@ def mips_topk_exact_pallas(
     query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
     bp = query_p.shape[0]
 
-    m = tile_max_scores(
-        query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb
-    )  # [B, NT]
-    _, tile_idx = jax.lax.top_k(m, k)  # [B, k]
+    m_t = tile_max_scores(
+        query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb,
+        transposed=True,
+    )  # [NT, BP] — kernel-native layout, fed straight to the select
+    # tournament select wants lanes in 128-groups (or a single full block)
+    # and a sublane-aligned row count
+    spad = 0 if bp <= 128 else (-bp) % 128
+    ntpad = (-m_t.shape[0]) % 8
+    if spad or ntpad:
+        m_t = jnp.pad(
+            m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
+        )
+    _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
+    tile_idx = idx_t[:, :bp].T  # [BP, k]
 
     # lane-align the width for the gather kernel's row DMAs
     dpad = (-d) % 128
