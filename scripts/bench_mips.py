@@ -23,6 +23,8 @@ def main():
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant names to run (default: all)")
     args = p.parse_args()
 
     import jax
@@ -75,6 +77,8 @@ def main():
         "approx95": lambda c, q: mips_topk_approx(c, q, args.k, 0.95),
         "chunked": lambda c, q: chunked_mips_topk(c, q, args.k, 131072),
     }.items():
+        if args.only and name not in args.only.split(","):
+            continue
         sec = timed(fn)
         results[name] = {
             "qps": round(args.batch / sec, 1),

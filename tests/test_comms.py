@@ -116,7 +116,7 @@ def _compile_sharded_step(mesh_cfg, strategy, batch_size=64):
     sharded = shard_state(state, mesh)
     batch = make_batch(jax.random.key(1), CFG, batch_size)
     step = make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg, lookup_strategy=strategy)
-    fn = step.build(sharded)
+    fn = step.build(sharded, batch)
     return mesh, fn.lower(sharded, batch).compile().as_text()
 
 

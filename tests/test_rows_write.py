@@ -97,13 +97,26 @@ def test_merge_lane_blocks(pack, d):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
 
 
-def test_merge_lane_blocks_compaction():
+def test_merge_lane_blocks_first_slot_contract():
     phys_ids, bits, vals = merge_lane_blocks(
         jnp.array([4, 5, 6], jnp.int32), jnp.zeros((3,), bool),
         jnp.ones((3, 64)), 2,
     )
-    # ids 4,5 share physical row 2; id 6 -> row 3; tail slot dead
-    np.testing.assert_array_equal(np.asarray(phys_ids[:2]), [2, 3])
-    assert int(phys_ids[2]) == jnp.iinfo(jnp.int32).max
-    np.testing.assert_array_equal(np.asarray(bits[:2]), [0b11, 0b01])
-    assert int(bits[2]) == 0
+    # ids 4,5 share physical row 2 (merged at the run's FIRST slot);
+    # id 6 -> row 3; the run's second slot is a masked no-op (bits 0)
+    np.testing.assert_array_equal(np.asarray(phys_ids), [2, 2, 3])
+    np.testing.assert_array_equal(np.asarray(bits), [0b11, 0, 0b01])
+    np.testing.assert_array_equal(np.asarray(vals[0]), np.ones(128))
+
+
+def test_merge_lane_blocks_partner_behind_duplicates():
+    """A partner id's first slot can sit arbitrarily far behind duplicate
+    slots of the other id — the searchsorted merge must still find it."""
+    ids = jnp.array([8, 8, 8, 8, 9], jnp.int32)
+    dup = jnp.array([0, 1, 1, 1, 0], bool)
+    rows = jnp.arange(5 * 64, dtype=jnp.float32).reshape(5, 64)
+    phys_ids, bits, vals = merge_lane_blocks(ids, dup, rows, 2)
+    np.testing.assert_array_equal(np.asarray(phys_ids), [4] * 5)
+    assert int(bits[0]) == 0b11 and not np.any(np.asarray(bits[1:]))
+    np.testing.assert_array_equal(np.asarray(vals[0, :64]), np.asarray(rows[0]))
+    np.testing.assert_array_equal(np.asarray(vals[0, 64:]), np.asarray(rows[4]))

@@ -249,6 +249,10 @@ class DataConfig:
     # False reproduces the reference demo's pure-noise labels
     # (train/train.py:53-55), where recall@k can only be random.
     structured: bool = True
+    # Per-example history lengths in [1, H]: positions past the length are
+    # padding, masked via Batch.history_len (the reference punts on variable
+    # histories — two_tower_base_retrieval.py:177-181).
+    variable_history: bool = False
 
 
 @dataclass(frozen=True)

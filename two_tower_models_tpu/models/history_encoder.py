@@ -27,7 +27,7 @@ from two_tower_models_tpu.nn.attention import mha_init, mha_apply
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_pe(seq_len: int, d_model: int):
+def _cached_pe_raw(seq_len: int, d_model: int):
     import numpy as np
 
     pos = np.arange(seq_len, dtype=np.float64)[:, None]  # [H, 1]
@@ -36,14 +36,36 @@ def _cached_pe(seq_len: int, d_model: int):
     # angular frequency exponent is 2j/d; even columns take sin, odd take cos.
     ang = pos / np.power(10000.0, 2.0 * col / d_model)
     pe = np.where(col % 2 == 0, np.sin(ang), np.cos(ang))
+    return np.ascontiguousarray(pe).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_pe(seq_len: int, d_model: int):
+    import numpy as np
+
     # Flip along positions: newest item sits at index 0
     # (user_history_encoder.py:38-54).
-    return np.ascontiguousarray(pe[::-1]).astype(np.float32)
+    return np.ascontiguousarray(_cached_pe_raw(seq_len, d_model)[::-1])
 
 
 def sinusoidal_positional_encoding(seq_len: int, d_model: int) -> jnp.ndarray:
     """Flipped sinusoidal PE, [H, D]."""
     return jnp.asarray(_cached_pe(seq_len, d_model))
+
+
+def per_example_positional_encoding(
+    lengths: jnp.ndarray, seq_len: int, d_model: int
+) -> jnp.ndarray:
+    """[B] lengths -> [B, H, D] PE equal to what a per-example TRUNCATED run
+    would use: position p of an example with length L gets the raw
+    (unflipped) PE at L-1-p — the reference's flip applied at that example's
+    own length (invalid positions get zeros).  The raw PE value at a position
+    is independent of the sequence length, so one [H, D] table serves all."""
+    raw = jnp.asarray(_cached_pe_raw(seq_len, d_model))
+    pos = jnp.arange(seq_len)
+    idx = jnp.clip(lengths[:, None] - 1 - pos[None, :], 0, seq_len - 1)
+    pe = jnp.take(raw, idx, axis=0)  # [B, H, D]
+    return jnp.where((pos[None, :] < lengths[:, None])[..., None], pe, 0.0)
 
 
 def history_encoder_init(key, dim: int, cfg: HistoryEncoderConfig, dtype=jnp.float32):
@@ -58,8 +80,16 @@ def history_encoder_apply(
     history_emb: jnp.ndarray,  # [B, H, DI], newest first
     cfg: HistoryEncoderConfig,
     compute_dtype=None,
+    lengths: jnp.ndarray = None,  # optional [B] int32 valid-history lengths
 ) -> jnp.ndarray:
-    """Returns [B, 2, DI]: (post-attention newest item, mean-pool)."""
+    """Returns [B, 2, DI]: (post-attention newest item, mean-pool).
+
+    With ``lengths`` (per-example valid-history counts, VERDICT r2 #8), the
+    output equals running the encoder on each example's TRUNCATED history
+    (property-tested): positions >= L_b are excluded from the mean, masked
+    out of every attention's keys, and the PE flip applies at L_b.  All
+    three kernel tiers honor it (blockwise / fused layer / whole-encoder).
+    """
     B, H, D = history_emb.shape
 
     if cfg.fused_encoder or cfg.fused_kernel or cfg.blockwise_kernel:
@@ -75,18 +105,62 @@ def history_encoder_apply(
             from two_tower_models_tpu.parallel.mesh import DATA_AXIS
 
             pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+            lens_spec = None if lengths is None else P(DATA_AXIS)
 
-            def body(p, x):
+            def body(p, x, lens):
                 with no_islands():
-                    return history_encoder_apply(p, x, cfg, compute_dtype)
+                    return history_encoder_apply(p, x, cfg, compute_dtype, lens)
 
             return jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(pspecs, P(DATA_AXIS, None, None)),
+                in_specs=(pspecs, P(DATA_AXIS, None, None), lens_spec),
                 out_specs=P(DATA_AXIS, None, None),
                 check_vma=False,
-            )(params, history_emb)
+            )(params, history_emb, lengths)
+
+    layers = params["attn_layers"]
+
+    if lengths is not None:
+        lengths = jnp.clip(lengths.astype(jnp.int32), 1, H)
+        pos = jnp.arange(H)
+        valid = pos[None, :] < lengths[:, None]  # [B, H]
+        x0 = jnp.where(valid[..., None], history_emb, 0)
+        mean_pooled = (
+            jnp.sum(x0.astype(jnp.float32), axis=1)
+            / lengths[:, None].astype(jnp.float32)
+        ).astype(history_emb.dtype)
+        x = x0
+        if cfg.use_positional_encoding:
+            x = x0 + per_example_positional_encoding(lengths, H, D).astype(x0.dtype)
+
+        if cfg.fused_encoder:
+            from two_tower_models_tpu.ops.pallas.fused_encoder import (
+                fused_attn_stack,
+            )
+
+            y0 = fused_attn_stack(
+                x if compute_dtype is None else x.astype(compute_dtype),
+                lengths,
+                jnp.stack([l["in_proj"]["w"] for l in layers]),
+                jnp.stack([l["in_proj"]["b"] for l in layers]),
+                jnp.stack([l["out_proj"]["w"] for l in layers]),
+                jnp.stack([l["out_proj"]["b"] for l in layers]),
+                cfg.num_heads,
+            ).astype(history_emb.dtype)
+            return jnp.stack([y0, mean_pooled], axis=1)
+
+        for layer in layers:
+            x = mha_apply(
+                layer,
+                x,
+                cfg.num_heads,
+                compute_dtype,
+                blockwise=cfg.blockwise_kernel,
+                fused=cfg.fused_kernel,
+                lengths=lengths,
+            )
+        return jnp.stack([x[:, 0, :], mean_pooled], axis=1)
 
     if cfg.fused_encoder:
         # Whole stack (PE + layers + pool) in one Pallas kernel; bf16
@@ -100,7 +174,6 @@ def history_encoder_apply(
             if cfg.use_positional_encoding
             else jnp.zeros((H, D), jnp.float32)
         )
-        layers = params["attn_layers"]
         he = history_emb if compute_dtype is None else history_emb.astype(compute_dtype)
         out = fused_history_encoder(
             he,

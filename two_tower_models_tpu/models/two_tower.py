@@ -64,6 +64,13 @@ class Batch(NamedTuple):
     item_features: Optional[jnp.ndarray] = None  # [B, II] (training only)
     position: Optional[jnp.ndarray] = None  # [B] int32 (training only)
     labels: Optional[jnp.ndarray] = None  # [B, T] ([B, 2T] under KD)
+    # Optional per-example valid-history lengths (VERDICT r2 #8): positions
+    # >= history_len[b] of user_history are padding — excluded from the
+    # encoder's mean/attention, with the PE flip applied at each example's
+    # own length (truncated-run equivalence, property-tested).  None = all
+    # histories full (the reference's fixed-H semantics,
+    # two_tower_base_retrieval.py:177-181 punts on this).
+    history_len: Optional[jnp.ndarray] = None  # [B] int32
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +204,8 @@ def get_user_embedding(params: Dict, cfg: ModelConfig, user_id) -> jnp.ndarray:
 
 
 def user_tower_input(
-    params: Dict, cfg: ModelConfig, user_id, user_features, user_history
+    params: Dict, cfg: ModelConfig, user_id, user_features, user_history,
+    history_len=None,
 ) -> jnp.ndarray:
     """Assemble the user-tower input vector.
 
@@ -217,18 +225,22 @@ def user_tower_input(
             params["item_id_table"], user_history, cfg.item_id_embedding_dim
         )  # [B,H,DI]
         summary = history_encoder_apply(
-            params["history_encoder"], hist_emb, cfg.history_encoder, cd
+            params["history_encoder"], hist_emb, cfg.history_encoder, cd,
+            lengths=history_len,
         )  # [B, 2, DI]
         parts.append(summary.reshape(summary.shape[0], -1))  # [B, 2*DI]
     return jnp.concatenate(parts, axis=-1)
 
 
 def compute_user_embedding(
-    params: Dict, cfg: ModelConfig, user_id, user_features, user_history
+    params: Dict, cfg: ModelConfig, user_id, user_features, user_history,
+    history_len=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """User-tower head -> MIPS query [B, DI]; plus the light-ranker's NU user
     embeddings [B, NU, DI] when that head is on (two_tower_plus_light_ranker.py:90-129)."""
-    x = user_tower_input(params, cfg, user_id, user_features, user_history)
+    x = user_tower_input(
+        params, cfg, user_id, user_features, user_history, history_len
+    )
     user_emb = linear_apply(params["user_tower_head"], x, cfg.cdtype)  # [B, DI]
     ranker_embs = None
     if cfg.light_ranker is not None:
@@ -533,7 +545,8 @@ def train_loss(
         (two_tower_base_plus_main_ranker_reward_model.py:64-124)
     """
     user_emb, ranker_embs = compute_user_embedding(
-        params, cfg, batch.user_id, batch.user_features, batch.user_history
+        params, cfg, batch.user_id, batch.user_features, batch.user_history,
+        batch.history_len,
     )
     item_embs = compute_item_embeddings(params, cfg, batch.item_id, batch.item_features)
     # The full [B, B] score matrix only materializes when a consumer needs it
@@ -643,6 +656,7 @@ def retrieve(
     user_id,
     user_features,
     user_history,
+    history_len=None,
 ) -> jnp.ndarray:
     """Inference: top ``cfg.num_items`` corpus indices per user [B, num_items].
 
@@ -661,6 +675,6 @@ def retrieve(
     topk_fn = lambda q, k: base(corpus, q, k)
 
     user_emb, ranker_embs = compute_user_embedding(
-        params, cfg, user_id, user_features, user_history
+        params, cfg, user_id, user_features, user_history, history_len
     )
     return retrieve_from_embeddings(params, cfg, user_emb, ranker_embs, topk_fn)

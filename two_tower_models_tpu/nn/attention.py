@@ -42,6 +42,7 @@ def mha_apply(
     compute_dtype=None,
     blockwise: bool = False,
     fused: bool = False,
+    lengths: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Self-attention (q = k = v = x).
 
@@ -50,7 +51,10 @@ def mha_apply(
     ``num_heads`` is static config, not a param leaf — the params dict holds
     only arrays so optimizers and checkpointers can map over it blindly.
     ``blockwise=True`` routes through the O(H)-memory Pallas kernel
-    (ops.pallas.history_attention) for long histories.
+    (ops.pallas.history_attention) for long histories.  ``lengths`` ([B]
+    int32) masks keys at positions >= the example's length on every path;
+    query rows past the length produce unmasked-garbage outputs the encoder
+    contract never consumes.
     """
     B, H, D = x.shape
     head_dim = D // num_heads
@@ -68,6 +72,7 @@ def mha_apply(
             params["out_proj"]["w"],
             params["out_proj"]["b"],
             num_heads,
+            lengths=lengths,
         ).astype(x.dtype)
 
     qkv = linear_apply(params["in_proj"], x, compute_dtype)  # [B, H, 3D]
@@ -83,7 +88,14 @@ def mha_apply(
         )
 
         fold = lambda t: t.reshape(B * num_heads, H, head_dim)
-        out = blockwise_self_attention(fold(q), fold(k), fold(v))
+        lens_folded = (
+            None
+            if lengths is None
+            else jnp.repeat(lengths.astype(jnp.int32), num_heads)
+        )
+        out = blockwise_self_attention(
+            fold(q), fold(k), fold(v), lengths=lens_folded
+        )
         out = out.reshape(B, num_heads, H, head_dim)
     else:
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
@@ -91,6 +103,11 @@ def mha_apply(
             jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
             * scale
         )  # [B, nh, H, H]
+        if lengths is not None:
+            key_valid = jnp.arange(H)[None, :] < lengths[:, None]  # [B, H]
+            scores = jnp.where(
+                key_valid[:, None, None, :], scores, jnp.float32(-jnp.inf)
+            )
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum(
             "bnqk,bnkd->bnqd", probs, v, preferred_element_type=jnp.float32

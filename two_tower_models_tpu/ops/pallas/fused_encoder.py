@@ -736,3 +736,205 @@ def _vjp_bwd(num_heads, tile_b, res, g):
 
 
 fused_history_encoder.defvjp(_vjp_fwd, _vjp_bwd_dispatch)
+
+
+# ---------------------------------------------------------------------------
+# Variable-length attention stack (per-example history lengths)
+# ---------------------------------------------------------------------------
+#
+# The whole-encoder kernel above bakes PE-add + mean-pool in because they're
+# free on the VMEM-resident tile — but both become per-example under
+# variable lengths (the PE flip applies at each example's own length, the
+# mean divides by it).  The varlen tier therefore computes PE/zeroing/mean
+# in XLA (fused into the embedding-gather producer) and runs only the
+# attention STACK in the kernel: [B, H, D] -> y0 [B, D] (row 0 of the final
+# layer — the only attention output the encoder contract consumes).  The
+# per-example length rides in as a [TB, 1] block and replaces the static
+# h_true in every mask (masking semantics verified against the truncated
+# dense run, tests/test_history_lengths.py).  Backward = recompute.
+
+
+def _stack_fwd_kernel(
+    x_ref, lens_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref,
+    *, num_heads, num_layers,
+):
+    tb, hp, d = x_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
+    hl = lens_ref[...].reshape(tb, 1, 1)
+    x = x_ref[...].astype(jnp.float32)
+    for l in range(num_layers - 1):
+        x, _ = _layer_fwd(
+            x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, hl, mm
+        )
+    lt = num_layers - 1
+    y0, _ = _thin_fwd(
+        x, wi_ref[lt], bi_ref[lt], wo_ref[lt], bo_ref[lt], num_heads, hd, hl, mm
+    )
+    y_ref[...] = y0.astype(y_ref.dtype)  # [TB, D]
+
+
+def _stack_bwd_kernel(
+    x_ref, lens_ref, g_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+    dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref,
+    *, num_heads, num_layers,
+):
+    tb, hp, d = x_ref.shape
+    hd = d // num_heads
+    mm = _mm_dtype(x_ref.dtype)
+    hl = lens_ref[...].reshape(tb, 1, 1)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dwi_ref[...] = jnp.zeros_like(dwi_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    residuals = []
+    for l in range(num_layers - 1):
+        x, res = _layer_fwd(
+            x, wi_ref[l], bi_ref[l], wo_ref[l], bo_ref[l], num_heads, hd, hl, mm
+        )
+        residuals.append(res)
+    lt = num_layers - 1
+    _, thin_res = _thin_fwd(
+        x, wi_ref[lt], bi_ref[lt], wo_ref[lt], bo_ref[lt], num_heads, hd, hl, mm
+    )
+
+    g0 = g_ref[...].astype(jnp.float32)  # [TB, D]
+    dy, dwi_l, dbi_l, dwo_l, dbo_l = _thin_bwd(
+        thin_res, g0, wi_ref[lt], wo_ref[lt], num_heads, hd, hl, mm
+    )
+    dwi_ref[lt] += dwi_l
+    dbi_ref[lt] += dbi_l
+    dwo_ref[lt] += dwo_l
+    dbo_ref[lt] += dbo_l
+    for l in range(num_layers - 2, -1, -1):
+        dy, dwi_l, dbi_l, dwo_l, dbo_l = _layer_bwd(
+            residuals[l], dy, wi_ref[l], wo_ref[l], num_heads, hd, hl, mm
+        )
+        dwi_ref[l] += dwi_l
+        dbi_ref[l] += dbi_l
+        dwo_ref[l] += dwo_l
+        dbo_ref[l] += dbo_l
+    dx_ref[...] = dy.astype(dx_ref.dtype)
+
+
+def _pad_lens_col(lens, tile_b):
+    from two_tower_models_tpu.ops.pallas.fused_mha import _round_up
+
+    b = lens.shape[0]
+    return jnp.pad(
+        lens.astype(jnp.int32).reshape(b, 1),
+        ((0, _round_up(b, tile_b) - b), (0, 0)),
+        constant_values=1,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_attn_stack(
+    x: jnp.ndarray,  # [B, H, D] — PE already added, invalid rows zeroed
+    lengths: jnp.ndarray,  # [B] int32 valid-history counts (>= 1)
+    w_in: jnp.ndarray,  # [L, D, 3D]
+    b_in: jnp.ndarray,  # [L, 3D]
+    w_out: jnp.ndarray,  # [L, D, D]
+    b_out: jnp.ndarray,  # [L, D]
+    num_heads: int,
+    tile_b: int = 64,
+) -> jnp.ndarray:
+    """[B, H, D] -> [B, D]: row 0 of the length-masked attention stack."""
+    y, _ = _stack_fwd_impl(x, lengths, w_in, b_in, w_out, b_out, num_heads, tile_b)
+    return y
+
+
+def _stack_fwd_impl(x, lengths, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    from two_tower_models_tpu.ops.pallas.fused_mha import _pad_bh
+
+    b, h_true, d = x.shape
+    num_layers = w_in.shape[0]
+    hp = _round_up(h_true, _sublane(x.dtype))
+    tile_b = _vmem_tile(tile_b, num_layers, hp, d, x.dtype, 192)
+    xp = _pad_bh(x, tile_b, hp)
+    lp = _pad_lens_col(lengths, tile_b)
+    bp = xp.shape[0]
+    y = pl.pallas_call(
+        functools.partial(
+            _stack_fwd_kernel, num_heads=num_heads, num_layers=num_layers
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        xp, lp,
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
+    )
+    return y[:b], tile_b
+
+
+def _stack_vjp_fwd(x, lengths, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    y, _ = _stack_fwd_impl(x, lengths, w_in, b_in, w_out, b_out, num_heads, tile_b)
+    return y, (x, lengths, w_in, b_in, w_out, b_out)
+
+
+def _stack_vjp_bwd(num_heads, tile_b, res, g):
+    from two_tower_models_tpu.ops.pallas.fused_mha import _pad_bh
+
+    x, lengths, w_in, b_in, w_out, b_out = res
+    b, h_true, d = x.shape
+    num_layers = w_in.shape[0]
+    hp = _round_up(h_true, _sublane(x.dtype))
+    tile_b = _vmem_tile(tile_b, num_layers, hp, d, x.dtype, 192)
+    xp = _pad_bh(x, tile_b, hp)
+    lp = _pad_lens_col(lengths, tile_b)
+    bp = xp.shape[0]
+    gp = jnp.pad(g.astype(x.dtype), ((0, bp - b), (0, 0)))
+    dx, dwi, dbi, dwo, dbo = pl.pallas_call(
+        functools.partial(
+            _stack_bwd_kernel, num_heads=num_heads, num_layers=num_layers
+        ),
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *_weight_specs(num_layers, d),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, hp, d), x.dtype),
+            *_weight_grad_shapes(num_layers, d),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(
+        xp, lp, gp,
+        *_weight_args(w_in, b_in, w_out, b_out, num_layers),
+    )
+    import numpy as np
+
+    return (
+        dx[:b, :h_true],
+        np.zeros(lengths.shape, jax.dtypes.float0),
+        dwi.astype(w_in.dtype),
+        dbi.reshape(num_layers, -1).astype(b_in.dtype),
+        dwo.astype(w_out.dtype),
+        dbo.reshape(num_layers, -1).astype(b_out.dtype),
+    )
+
+
+fused_attn_stack.defvjp(_stack_vjp_fwd, _stack_vjp_bwd)

@@ -146,11 +146,14 @@ def _attend(q, k, v, num_heads, hd, h_true, mm):
 
 
 def _fwd_kernel(
-    x_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref, *, num_heads, h_true
+    x_ref, lens_ref, wi_ref, bi_ref, wo_ref, bo_ref, y_ref, *, num_heads
 ):
     tb, hp, d = x_ref.shape
     hd = d // num_heads
     mm = _mm_dtype(x_ref.dtype)
+    # valid-key count per example — [TB, 1, 1] broadcasts against the score
+    # col iota exactly like the old static scalar did
+    h_true = lens_ref[...].reshape(tb, 1, 1)
 
     x2 = x_ref[...].reshape(tb * hp, d).astype(mm)
     qkv = (
@@ -174,14 +177,15 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    x_ref, g_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+    x_ref, g_ref, lens_ref, wi_ref, bi_ref, wo_ref, bo_ref,
     dx_ref, dwi_ref, dbi_ref, dwo_ref, dbo_ref,
-    *, num_heads, h_true,
+    *, num_heads,
 ):
     tb, hp, d = x_ref.shape
     hd = d // num_heads
     scale = 1.0 / (hd**0.5)
     mm = _mm_dtype(x_ref.dtype)
+    h_true = lens_ref[...].reshape(tb, 1, 1)
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -274,17 +278,28 @@ def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
-def _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b):
+def _pad_lens(lens, tile_b):
+    b = lens.shape[0]
+    return jnp.pad(
+        lens.astype(jnp.int32).reshape(b, 1),
+        ((0, _round_up(b, tile_b) - b), (0, 0)),
+        constant_values=1,
+    )
+
+
+def _fwd_impl(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b):
     b, h_true, d = x.shape
     hp = _round_up(h_true, _sublane(x.dtype))
     xp = _pad_bh(x, tile_b, hp)
+    lp = _pad_lens(lens, tile_b)
     bp = xp.shape[0]
     grid = (bp // tile_b,)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, h_true=h_true),
+        functools.partial(_fwd_kernel, num_heads=num_heads),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -301,11 +316,15 @@ def _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b):
             transcendentals=bp * hp * hp * num_heads,
         ),
         interpret=_interpret(),
-    )(xp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
+    )(xp, lp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
     return y[:b, :h_true]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_mha_core(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    return _fwd_impl(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b)
+
+
 def fused_mha_layer(
     x: jnp.ndarray,  # [B, H, D]
     w_in: jnp.ndarray,  # [D, 3D]
@@ -314,18 +333,27 @@ def fused_mha_layer(
     b_out: jnp.ndarray,  # [D]
     num_heads: int,
     tile_b: int = 64,
+    lengths: jnp.ndarray = None,  # optional [B] int32 valid key counts
 ) -> jnp.ndarray:
-    """Whole attention layer (QKV proj + MHA + out proj) in one kernel."""
-    return _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b)
+    """Whole attention layer (QKV proj + MHA + out proj) in one kernel.
+    ``lengths`` masks keys at positions >= the example's length (queries
+    past it produce garbage rows the encoder contract never consumes)."""
+    b, h_true, _ = x.shape
+    lens = (
+        jnp.full((b,), h_true, jnp.int32)
+        if lengths is None
+        else jnp.clip(lengths.astype(jnp.int32), 1, h_true)
+    )
+    return _fused_mha_core(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b)
 
 
-def _vjp_fwd(x, w_in, b_in, w_out, b_out, num_heads, tile_b):
-    y = _fwd_impl(x, w_in, b_in, w_out, b_out, num_heads, tile_b)
-    return y, (x, w_in, b_in, w_out, b_out)
+def _vjp_fwd(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b):
+    y = _fwd_impl(x, lens, w_in, b_in, w_out, b_out, num_heads, tile_b)
+    return y, (x, lens, w_in, b_in, w_out, b_out)
 
 
 def _vjp_bwd(num_heads, tile_b, res, g):
-    x, w_in, b_in, w_out, b_out = res
+    x, lens, w_in, b_in, w_out, b_out = res
     b, h_true, d = x.shape
     # The backward kernel holds ~2x the forward's live VMEM (recomputed
     # probs for all heads + dq/dk/dv + the concat); halve the tile to stay
@@ -334,15 +362,17 @@ def _vjp_bwd(num_heads, tile_b, res, g):
     hp = _round_up(h_true, _sublane(x.dtype))
     xp = _pad_bh(x, tile_b, hp)
     gp = _pad_bh(g, tile_b, hp)
+    lp = _pad_lens(lens, tile_b)
     bp = xp.shape[0]
     grid = (bp // tile_b,)
     const = lambda i: (0, 0)
     dx, dwi, dbi, dwo, dbo = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads, h_true=h_true),
+        functools.partial(_bwd_kernel, num_heads=num_heads),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, hp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
@@ -364,9 +394,12 @@ def _vjp_bwd(num_heads, tile_b, res, g):
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(xp, gp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
+    )(xp, gp, lp, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
+    import numpy as np
+
     return (
         dx[:b, :h_true].astype(x.dtype),
+        np.zeros(lens.shape, jax.dtypes.float0),
         dwi.astype(w_in.dtype),
         dbi[0].astype(b_in.dtype),
         dwo.astype(w_out.dtype),
@@ -374,7 +407,7 @@ def _vjp_bwd(num_heads, tile_b, res, g):
     )
 
 
-fused_mha_layer.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_mha_core.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def mha_layer_reference(x, w_in, b_in, w_out, b_out, num_heads):

@@ -38,8 +38,13 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, h_true, kv_tile, scale):
-    """One program = one (batch*head, q-tile).  Loops kv tiles online."""
+def _attn_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, kv_tile, scale
+):
+    """One program = one (batch*head, q-tile).  Loops kv tiles online.
+    ``lens_ref`` (scalar-prefetch SMEM, [N]) holds each leading index's valid
+    key count — the static history length, or per-example lengths."""
+    h_true = lens_ref[pl.program_id(0)]
     q = q_ref[0]  # [Tq, Dh']
     tq, dh = q.shape
     hp = k_ref.shape[1]
@@ -71,20 +76,40 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, h_true, kv_tile, scale)
     lse_ref[0] = (m + jnp.log(l)).reshape(1, tq)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _blockwise_core(
+    q: jnp.ndarray,  # [N, H, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lens: jnp.ndarray,  # [N] int32 valid key count per leading index
+    q_tile: int = 128,
+    kv_tile: int = 128,
+) -> jnp.ndarray:
+    out, _ = _blockwise_fwd_impl(q, k, v, lens, q_tile, kv_tile)
+    return out
+
+
 def blockwise_self_attention(
     q: jnp.ndarray,  # [N, H, Dh]
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_tile: int = 128,
     kv_tile: int = 128,
+    lengths: jnp.ndarray = None,  # optional [N] int32 valid key counts
 ) -> jnp.ndarray:
-    """Unmasked softmax(q k^T / sqrt(Dh)) v per leading index; O(H) memory in
-    BOTH directions: the forward saves only per-row LSE, and the flash
-    backward recomputes probabilities tile-by-tile from it — the [H, H]
-    score matrix exists in neither pass (standard two-pass flash bwd)."""
-    out, _ = _blockwise_fwd_impl(q, k, v, q_tile, kv_tile)
-    return out
+    """softmax(q k^T / sqrt(Dh)) v per leading index; O(H) memory in BOTH
+    directions: the forward saves only per-row LSE, and the flash backward
+    recomputes probabilities tile-by-tile from it — the [H, H] score matrix
+    exists in neither pass (standard two-pass flash bwd).  ``lengths`` masks
+    keys >= the leading index's length (queries past it produce garbage
+    rows the encoder contract never consumes)."""
+    n, h_true, _ = q.shape
+    lens = (
+        jnp.full((n,), h_true, jnp.int32)
+        if lengths is None
+        else jnp.clip(lengths.astype(jnp.int32), 1, h_true)
+    )
+    return _blockwise_core(q, k, v, lens, q_tile, kv_tile)
 
 
 def _pad_shapes(h_true, dh_true, q_tile, kv_tile):
@@ -104,6 +129,7 @@ def _blockwise_fwd_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
+    lens: jnp.ndarray,  # [N] int32
     q_tile: int = 128,
     kv_tile: int = 128,
 ):
@@ -116,18 +142,19 @@ def _blockwise_fwd_impl(
     kp, vp = _pad3(k, h_true, hp_kv, dh), _pad3(v, h_true, hp_kv, dh)
     grid = (n, hp_q // q_tile)
     out, lse = pl.pallas_call(
-        functools.partial(
-            _attn_kernel, h_true=h_true, kv_tile=kv_tile, scale=scale
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+        functools.partial(_attn_kernel, kv_tile=kv_tile, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, q_tile, dh), lambda b, i, L: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hp_kv, dh), lambda b, i, L: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hp_kv, dh), lambda b, i, L: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, q_tile, dh), lambda b, i, L: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, q_tile), lambda b, i, L: (b, 0, i), memory_space=pltpu.VMEM),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, hp_q, dh), jnp.float32),
@@ -142,17 +169,18 @@ def _blockwise_fwd_impl(
             transcendentals=n * hp_q * hp_kv,
         ),
         interpret=_interpret(),
-    )(qp, kp, vp)
+    )(lens.astype(jnp.int32), qp, kp, vp)
     return out[:, :h_true, :dh_true].astype(q.dtype), lse
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, h_true, kv_tile, scale,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, kv_tile, scale,
 ):
     """One program = one (n, q-tile); loops kv tiles.  Scores are computed
     TRANSPOSED ([Tkv, Tq]) so lse/delta broadcast from their [1, Tq] row
     layout — no relayouts inside the loop."""
+    h_true = lens_ref[pl.program_id(0)]
     q = q_ref[0]  # [Tq, Dh']
     do = do_ref[0]  # [Tq, Dh']
     lse = lse_ref[0]  # [1, Tq]
@@ -183,11 +211,12 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, h_true, q_tile, scale,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, q_tile, scale,
 ):
     """One program = one (n, kv-tile); loops q tiles with the same
     transposed-score orientation."""
+    h_true = lens_ref[pl.program_id(0)]
     k = k_ref[0]  # [Tkv, Dh']
     v = v_ref[0]
     tkv, dh = k.shape
@@ -220,16 +249,17 @@ def _dkv_kernel(
     dv_ref[0] = dv
 
 
-def _blockwise_vjp_fwd(q, k, v, q_tile, kv_tile):
-    out, lse = _blockwise_fwd_impl(q, k, v, q_tile, kv_tile)
-    return out, (q, k, v, out, lse)
+def _blockwise_vjp_fwd(q, k, v, lens, q_tile, kv_tile):
+    out, lse = _blockwise_fwd_impl(q, k, v, lens, q_tile, kv_tile)
+    return out, (q, k, v, lens, out, lse)
 
 
 def _blockwise_vjp_bwd(q_tile, kv_tile, res, g):
-    q, k, v, out, lse = res
+    q, k, v, lens, out, lse = res
     n, h_true, dh_true = q.shape
     scale = 1.0 / (dh_true**0.5)
     dh, q_tile, hp_q, hp_kv = _pad_shapes(h_true, dh_true, q_tile, kv_tile)
+    lens = lens.astype(jnp.int32)
 
     qp = _pad3(q, h_true, hp_q, dh)
     kp, vp = _pad3(k, h_true, hp_kv, dh), _pad3(v, h_true, hp_kv, dh)
@@ -240,30 +270,36 @@ def _blockwise_vjp_bwd(q_tile, kv_tile, res, g):
     )  # [N, H]
     delta = jnp.pad(delta, ((0, 0), (0, hp_q - h_true)))[:, None, :]  # [N,1,hp_q]
 
-    qspec = pl.BlockSpec((1, q_tile, dh), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-    kvspec_full = pl.BlockSpec((1, hp_kv, dh), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((1, 1, q_tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, q_tile, dh), lambda b, i, L: (b, i, 0), memory_space=pltpu.VMEM)
+    kvspec_full = pl.BlockSpec((1, hp_kv, dh), lambda b, i, L: (b, 0, 0), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, 1, q_tile), lambda b, i, L: (b, 0, i), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, h_true=h_true, kv_tile=kv_tile, scale=scale),
-        grid=(n, hp_q // q_tile),
-        in_specs=[qspec, kvspec_full, kvspec_full, qspec, rowspec, rowspec],
-        out_specs=qspec,
+        functools.partial(_dq_kernel, kv_tile=kv_tile, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, hp_q // q_tile),
+            in_specs=[qspec, kvspec_full, kvspec_full, qspec, rowspec, rowspec],
+            out_specs=qspec,
+        ),
         out_shape=jax.ShapeDtypeStruct((n, hp_q, dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, lse, delta)
+    )(lens, qp, kp, vp, dop, lse, delta)
 
-    kvspec = pl.BlockSpec((1, kv_tile, dh), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM)
-    qspec_full = pl.BlockSpec((1, hp_q, dh), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
-    rowspec_full = pl.BlockSpec((1, 1, hp_q), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, kv_tile, dh), lambda b, j, L: (b, j, 0), memory_space=pltpu.VMEM)
+    qspec_full = pl.BlockSpec((1, hp_q, dh), lambda b, j, L: (b, 0, 0), memory_space=pltpu.VMEM)
+    rowspec_full = pl.BlockSpec((1, 1, hp_q), lambda b, j, L: (b, 0, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, h_true=h_true, q_tile=q_tile, scale=scale),
-        grid=(n, hp_kv // kv_tile),
-        in_specs=[qspec_full, kvspec, kvspec, qspec_full, rowspec_full, rowspec_full],
-        out_specs=(kvspec, kvspec),
+        functools.partial(_dkv_kernel, q_tile=q_tile, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, hp_kv // kv_tile),
+            in_specs=[qspec_full, kvspec, kvspec, qspec_full, rowspec_full, rowspec_full],
+            out_specs=(kvspec, kvspec),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((n, hp_kv, dh), jnp.float32),
             jax.ShapeDtypeStruct((n, hp_kv, dh), jnp.float32),
@@ -272,15 +308,18 @@ def _blockwise_vjp_bwd(q_tile, kv_tile, res, g):
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, lse, delta)
+    )(lens, qp, kp, vp, dop, lse, delta)
 
     def crop(x, dtype):
         return x[:, :h_true, :dh_true].astype(dtype)
 
-    return crop(dq, q.dtype), crop(dk, k.dtype), crop(dv, v.dtype)
+    import numpy as np
+
+    dlens = np.zeros(lens.shape, jax.dtypes.float0)
+    return crop(dq, q.dtype), crop(dk, k.dtype), crop(dv, v.dtype), dlens
 
 
-blockwise_self_attention.defvjp(_blockwise_vjp_fwd, _blockwise_vjp_bwd)
+_blockwise_core.defvjp(_blockwise_vjp_fwd, _blockwise_vjp_bwd)
 
 
 def attention_reference(q, k, v):

@@ -117,18 +117,34 @@ def tile_max_scores(
 # Selection order IS descending score order, like lax.top_k.
 
 
-def _select_topk_kernel(x_ref, idx_ref, val_ref, *, k: int):
-    nt, qb = x_ref.shape
+def _select_topk_kernel(x_hbm, idx_ref, val_ref, xs, sem, *, k: int, qb: int):
+    # one DMA brings this program's [NT, QB] score block into the scratch;
+    # the k extraction rounds then mutate it in place (a blocked input +
+    # fori carry held TWO copies plus double-buffering and blew the 16 MB
+    # scoped-VMEM limit at NT=7824 on v5e — measured)
+    q0 = pl.program_id(0) * qb
+    cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(q0, qb)], xs, sem)
+    cp.start()
+    cp.wait()
+    nt = xs.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (nt, qb), 0)
 
-    def body(j, x):
+    def body(j, _):
+        x = xs[...]
         m = jnp.max(x, axis=0, keepdims=True)  # [1, QB]
         i = jnp.min(jnp.where(x == m, iota, nt), axis=0, keepdims=True)
         idx_ref[pl.ds(j, 1), :] = i
         val_ref[pl.ds(j, 1), :] = m
-        return jnp.where(iota == i, _NEG_INF, x)
+        xs[...] = jnp.where(iota == i, _NEG_INF, x)
+        return 0
 
-    jax.lax.fori_loop(0, k, body, x_ref[...])
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+# Above this row count the [NT, 128] f32 scratch won't fit scoped VMEM
+# alongside its temporaries; callers fall back to lax.top_k (corpora beyond
+# ~1.5M rows at tile=128).
+_SELECT_MAX_ROWS = 12288
 
 
 def select_topk_t(
@@ -144,9 +160,9 @@ def select_topk_t(
     assert b % qb == 0 and nt % 8 == 0, (nt, b)
     assert k <= nt
     idx, val = pl.pallas_call(
-        functools.partial(_select_topk_kernel, k=k),
+        functools.partial(_select_topk_kernel, k=k, qb=qb),
         grid=(b // qb,),
-        in_specs=[pl.BlockSpec((nt, qb), lambda q: (0, q))],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((k, qb), lambda q: (0, q)),
             pl.BlockSpec((k, qb), lambda q: (0, q)),
@@ -154,6 +170,10 @@ def select_topk_t(
         out_shape=[
             jax.ShapeDtypeStruct((k, b), jnp.int32),
             jax.ShapeDtypeStruct((k, b), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nt, qb), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -318,20 +338,27 @@ def mips_topk_exact_pallas(
     query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
     bp = query_p.shape[0]
 
-    m_t = tile_max_scores(
-        query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb,
-        transposed=True,
-    )  # [NT, BP] — kernel-native layout, fed straight to the select
-    # tournament select wants lanes in 128-groups (or a single full block)
-    # and a sublane-aligned row count
-    spad = 0 if bp <= 128 else (-bp) % 128
-    ntpad = (-m_t.shape[0]) % 8
-    if spad or ntpad:
-        m_t = jnp.pad(
-            m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
-        )
-    _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
-    tile_idx = idx_t[:, :bp].T  # [BP, k]
+    if n_tiles <= _SELECT_MAX_ROWS:
+        m_t = tile_max_scores(
+            query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb,
+            transposed=True,
+        )  # [NT, BP] — kernel-native layout, fed straight to the select
+        # tournament select wants lanes in 128-groups (or a single full
+        # block) and a sublane-aligned row count
+        spad = 0 if bp <= 128 else (-bp) % 128
+        ntpad = (-m_t.shape[0]) % 8
+        if spad or ntpad:
+            m_t = jnp.pad(
+                m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
+            )
+        _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
+        tile_idx = idx_t[:, :bp].T  # [BP, k]
+    else:
+        # tile-max matrix too tall for the select scratch: XLA top_k
+        m = tile_max_scores(
+            query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb
+        )  # [BP, NT]
+        _, tile_idx = jax.lax.top_k(m, k)
 
     # lane-align the width for the gather kernel's row DMAs
     dpad = (-d) % 128

@@ -45,12 +45,11 @@ def _kernel(
     ids_ref,  # HBM [Np] int32: physical row per update, sorted, unique
     bits_ref,  # HBM [Np] int32: live lane-block bitmask per update
     vals_ref,  # HBM [Np, W]: new row values (dead lanes arbitrary)
-    init_ref,  # HBM [Vp, W] — ALIASED to the output (read via DMA only)
+    dst_ref,  # VMEM [tile_v, W] — current tile (ALIASED to the output)
     out_ref,  # VMEM [tile_v, W] — this program's table tile
     ids_smem,  # SMEM [CHUNK] int32
     bits_smem,  # SMEM [CHUNK] int32
     vals_vmem,  # VMEM [SUB, W]
-    sem_tile,
     sem_ids,
     sem_bits,
     sem_rows,
@@ -60,12 +59,9 @@ def _kernel(
 ):
     i = pl.program_id(0)
     base = i * tile_v
-    # copy-through: the tile rides in via one DMA from the aliased buffer
-    cp = pltpu.make_async_copy(
-        init_ref.at[pl.ds(base, tile_v), :], out_ref, sem_tile
-    )
-    cp.start()
-    cp.wait()
+    # copy-through: untouched rows pass unchanged (dst streams in via the
+    # block pipeline; the alias keeps HBM usage at one buffer)
+    out_ref[...] = dst_ref[...]
 
     start = starts_ref[i]
     end = starts_ref[i + 1]
@@ -160,7 +156,10 @@ def rows_write(
                 pl.BlockSpec(memory_space=pl.ANY),  # ids
                 pl.BlockSpec(memory_space=pl.ANY),  # bits
                 pl.BlockSpec(memory_space=pl.ANY),  # vals
-                pl.BlockSpec(memory_space=pl.ANY),  # dst (aliased to out)
+                pl.BlockSpec(
+                    (tile_v, w), lambda i, starts: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # dst (aliased to out)
             ],
             out_specs=pl.BlockSpec(
                 (tile_v, w), lambda i, starts: (i, 0), memory_space=pltpu.VMEM
@@ -169,7 +168,6 @@ def rows_write(
                 pltpu.SMEM((_CHUNK,), jnp.int32),
                 pltpu.SMEM((_CHUNK,), jnp.int32),
                 pltpu.VMEM((_SUB, w), dst.dtype),
-                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -194,34 +192,39 @@ def merge_lane_blocks(
 ):
     """Merge logical-row updates into per-PHYSICAL-row (ids, bits, vals).
 
-    Returns (phys_ids [N], bits [N], vals [N, P*D]); compacted entries come
-    first (unique physical rows in ascending order), the tail is dead slots
-    with bits == 0 and phys_ids == INT32_MAX (callers pass them to rows_write,
-    which drops them).  Duplicate logical slots contribute nothing.
+    Returns (phys_ids [N], bits [N], vals [N, P*D]), SORTED by physical row:
+    the first slot of each run of equal physical rows carries the merged
+    value and lane bitmask; later slots of the run keep the same physical id
+    with bits == 0 (rows_write applies them as masked no-ops).  Duplicate
+    logical slots contribute nothing.
+
+    Scatter-free: for each lane block c, the (unique) slot holding logical id
+    phys*P + c is found with one searchsorted and its contribution gathered —
+    P gathers instead of an XLA scatter, whose constants dominate at large N.
     """
     n, d = new_rows.shape
     keep = ~dup_mask
-    phys = sorted_ids.astype(jnp.int32) // pack
-    blk = sorted_ids.astype(jnp.int32) % pack
-    firsts = jnp.concatenate(
-        [jnp.ones((1,), bool), phys[1:] != phys[:-1]]
-    )
-    rank = jnp.cumsum(firsts) - 1  # [N] -> compacted slot
+    ids = sorted_ids.astype(jnp.int32)
+    phys = ids // pack
+    blk = ids % pack
 
     oh = jax.nn.one_hot(blk, pack, dtype=new_rows.dtype) * keep[:, None]
     contrib = (oh[:, :, None] * new_rows[:, None, :]).reshape(n, pack * d)
-    vals = jnp.zeros((n, pack * d), new_rows.dtype).at[rank].add(contrib)
-    bits = (
-        jnp.zeros((n,), jnp.int32)
-        .at[rank]
-        .add(jnp.where(keep, jnp.int32(1) << blk, 0))
-    )
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    phys_ids = jnp.full((n,), big, jnp.int32).at[rank].set(phys)
-    # entries whose every logical slot was a duplicate can't exist (the first
-    # slot of a run is never a dup), so bits == 0 <=> dead tail slot
-    phys_ids = jnp.where(bits == 0, big, phys_ids)
-    return phys_ids, bits, vals
+
+    # contributions live only at each id's FIRST slot (dups carry zeros and
+    # searchsorted(side='left') never lands on them)
+    vals = jnp.zeros_like(contrib)
+    bits = jnp.zeros((n,), jnp.int32)
+    for c in range(pack):
+        want = phys * pack + c
+        pos = jnp.searchsorted(ids, want).astype(jnp.int32)
+        found = (pos < n) & (jnp.take(ids, jnp.minimum(pos, n - 1)) == want)
+        row = jnp.take(contrib, jnp.minimum(pos, n - 1), axis=0)
+        vals = vals + jnp.where(found[:, None], row, 0)
+        bits = bits | jnp.where(found, jnp.int32(1) << c, 0)
+    firsts = jnp.concatenate([jnp.ones((1,), bool), phys[1:] != phys[:-1]])
+    bits = jnp.where(firsts, bits, 0)  # non-first run slots: masked no-ops
+    return phys, bits, vals
 
 
 def rows_write_reference(dst, ids, bits, vals, block_dim):

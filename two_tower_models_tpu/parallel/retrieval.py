@@ -114,7 +114,7 @@ def make_sharded_recall_fn(
     def recall(params, corpus_shard, batch, valid_count):
         user_emb, _ = _user_tower(
             params, model_cfg, batch.user_id, batch.user_features,
-            batch.user_history, lookup_strategy, tower_tp,
+            batch.user_history, lookup_strategy, tower_tp, batch.history_len,
         )  # [B_local, DI]
         b_local = user_emb.shape[0]
         # The corpus shards span BOTH mesh axes (maximum memory spread), so
@@ -137,7 +137,7 @@ def make_sharded_recall_fn(
         return hits / jnp.maximum(total, 1)
 
     def run(params, corpus, batch, valid_count: int):
-        batch_specs = Batch(*([P(DATA_AXIS)] * len(Batch._fields)))
+        batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
         mapped = jax.shard_map(
             lambda p, c, b: recall(p, c, b, valid_count),
             mesh=mesh,

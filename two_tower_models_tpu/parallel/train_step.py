@@ -82,7 +82,7 @@ def _mlp(params, x, cd, tp: bool):
     return _tp_mlp_apply(params, x, cd) if tp else mlp_apply(params, x, cd)
 
 
-def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy, tp=False):
+def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, strategy, tp=False, hist_len=None):
     """Returns (user_emb [B_local, DI], ranker_embs [B_local, NU, DI] | None) —
     mirrors two_tower.compute_user_embedding over the sharded lookup."""
     cd = cfg.cdtype
@@ -92,7 +92,8 @@ def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, 
     if cfg.history_encoder is not None:
         hist = _lookup(params, "item_id_table", user_history, strategy)
         summary = history_encoder_apply(
-            params["history_encoder"], hist, cfg.history_encoder, cd
+            params["history_encoder"], hist, cfg.history_encoder, cd,
+            lengths=hist_len,
         )
         parts.append(summary.reshape(summary.shape[0], -1))
     x = jnp.concatenate(parts, axis=-1)
@@ -185,7 +186,7 @@ def sharded_loss_fn(
     tp = mesh_cfg.tower_tp
     user_emb, ranker_embs = _user_tower(
         params, cfg, batch.user_id, batch.user_features, batch.user_history,
-        lookup_strategy, tp,
+        lookup_strategy, tp, batch.history_len,
     )  # [B_local, DI]
     item_emb = _item_tower(
         params, cfg, batch.item_id, batch.item_features, lookup_strategy, tp
@@ -344,7 +345,7 @@ def make_gspmd_train_step(
             else:
                 bspec = to_sharding(batch_pspec())
                 body_fn = step
-            batch_sh = Batch(*([bspec] * len(Batch._fields)))
+            batch_sh = jax.tree_util.tree_map(lambda _: bspec, batch)
             compiled["fn"] = jax.jit(
                 body_fn,
                 in_shardings=(state_sh, batch_sh),
@@ -436,17 +437,11 @@ def make_sharded_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    def build(state: TrainState):
+    def build(state: TrainState, batch: Batch):
         specs = state_pspecs(state, mesh_cfg.tower_tp)
-        batch_specs = Batch(
-            user_id=P(DATA_AXIS),
-            user_features=P(DATA_AXIS),
-            user_history=P(DATA_AXIS),
-            item_id=P(DATA_AXIS),
-            item_features=P(DATA_AXIS),
-            position=P(DATA_AXIS),
-            labels=P(DATA_AXIS),
-        )
+        # spec tree mirrors the batch's present fields (None fields — e.g.
+        # history_len when histories are fixed-length — carry no spec)
+        batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
         metric_names = ["softmax_ce", "debias_aux_loss", "nuv_mean", "loss", "grad_norm"]
         if model_cfg.light_ranker is not None:
             metric_names.append("light_ranker_bce")
@@ -483,7 +478,7 @@ def make_sharded_train_step(
 
     def step(state: TrainState, batch: Batch):
         if "fn" not in _cache:
-            _cache["fn"] = build(state)
+            _cache["fn"] = build(state, batch)
         return _cache["fn"](state, batch)
 
     step.build = build  # jit handle for lowering/HLO inspection (test_comms)

@@ -34,6 +34,8 @@ class SyntheticRecData(NamedTuple):
     # catalog for MIPS corpus refresh / eval
     catalog_ids: jnp.ndarray  # [C]
     catalog_features: jnp.ndarray  # [C, F]
+    # optional per-example valid-history lengths (DataConfig.variable_history)
+    history_lens: jnp.ndarray = None  # [N] int32 in [1, H], or None
 
     @property
     def num_samples(self) -> int:
@@ -62,6 +64,14 @@ def make_synthetic_data(
     user_history = jax.random.randint(ks[4], (n, cfg.history_len), 0, cfg.num_items)
     positions = jax.random.randint(ks[5], (n,), 0, cfg.max_position)
 
+    history_lens = None
+    if cfg.variable_history:
+        # Per-example lengths in [1, H]; positions past the length are
+        # PADDING (id 0) — the encoder masks them via Batch.history_len.
+        history_lens = jax.random.randint(ks[7], (n,), 1, cfg.history_len + 1)
+        pos = jnp.arange(cfg.history_len)
+        user_history = jnp.where(pos[None, :] < history_lens[:, None], user_history, 0)
+
     # Catalog: a fixed feature vector per item id, so the item tower sees a
     # consistent item -> feature mapping (feature = hash-seeded noise).
     catalog_ids = jnp.arange(cfg.num_items)
@@ -89,6 +99,7 @@ def make_synthetic_data(
         labels=labels,
         catalog_ids=catalog_ids,
         catalog_features=catalog_features,
+        history_lens=history_lens,
     )
 
 
@@ -102,6 +113,7 @@ def gather_batch(data: SyntheticRecData, idx: jnp.ndarray) -> Batch:
         item_features=data.item_features[idx],
         position=data.positions[idx],
         labels=data.labels[idx],
+        history_len=None if data.history_lens is None else data.history_lens[idx],
     )
 
 

@@ -178,7 +178,8 @@ def make_eval_recall_fn(model_cfg: ModelConfig, top_k: int = 100):
     @jax.jit
     def recall_at_k(params, corpus: jnp.ndarray, batch: Batch) -> jnp.ndarray:
         user_emb, _ = two_tower.compute_user_embedding(
-            params, model_cfg, batch.user_id, batch.user_features, batch.user_history
+            params, model_cfg, batch.user_id, batch.user_features,
+            batch.user_history, batch.history_len,
         )
         k = min(top_k, corpus.shape[0])
         # Exact retrieval (offline eval wants the true metric); the Pallas
