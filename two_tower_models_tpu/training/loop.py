@@ -373,6 +373,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--variable_history", action="store_true",
+                   help="per-example history lengths in [1, H] (Batch.history_len "
+                        "masks the encoder's mean/attention/PE)")
     p.add_argument("--noise_labels", action="store_true",
                    help="pure-noise labels like the reference demo (recall@k becomes random)")
     p.add_argument("--learning_rate", type=float, default=1e-3)
@@ -422,6 +425,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         history_len=args.user_history_seqlen,
         num_tasks=model.num_tasks,
         structured=not args.noise_labels,
+        variable_history=args.variable_history,
     )
     train_c = TrainConfig(
         batch_size=args.batch_size,
