@@ -154,6 +154,30 @@ def test_train_loss_accepts_history_len():
     assert float(jnp.abs(g1["item_id_table"]).sum()) > 0
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+def test_lengths_through_kernel_islands():
+    """GSPMD path: the encoder kernels run in shard_map islands with the
+    lengths sharded over data alongside the batch."""
+    from two_tower_models_tpu.config import MeshConfig
+    from two_tower_models_tpu.parallel.islands import kernel_islands
+    from two_tower_models_tpu.parallel.mesh import make_mesh
+
+    params, cfg = _params()
+    cfg = dataclasses.replace(cfg, fused_encoder=True)
+    dense_cfg = dataclasses.replace(cfg, fused_encoder=False)
+    emb = jax.random.normal(jax.random.key(5), (B, H, D))
+    lens = _lengths()
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with kernel_islands(mesh):
+        got = jax.jit(
+            lambda p, e, L: history_encoder_apply(p, e, cfg, lengths=L)
+        )(params, emb, lens)
+    want = history_encoder_apply(params, emb, dense_cfg, lengths=lens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_variable_history_end_to_end_training():
     """Trainer loop with DataConfig.variable_history: loss decreases and
     eval runs (history_len flows through step + recall paths)."""
