@@ -228,10 +228,18 @@ def merge_lane_blocks(
 
 
 def rows_write_reference(dst, ids, bits, vals, block_dim):
-    """Pure-XLA semantics oracle for rows_write (tests)."""
+    """Pure-XLA semantics oracle for rows_write (tests).
+
+    Slots with ``bits == 0`` (merge_lane_blocks' masked no-ops, which share
+    their physical id with the run's live first slot) must be DROPPED before
+    the scatter: with duplicate indices XLA's scatter-SET order is
+    unspecified, and on TPU hardware the no-op slot's merged row (== the
+    original row) can land after the live slot's update and erase it — the
+    kernel's in-order masked blend has no such ambiguity."""
     v, w = dst.shape
     lanes = jnp.arange(w) // block_dim
     m = ((bits[:, None] >> lanes[None, :]) & 1).astype(dst.dtype)
     old = jnp.take(dst, jnp.minimum(ids, v - 1), axis=0)
     merged = old * (1 - m) + vals * m
-    return dst.at[jnp.where(ids < v, ids, v)].set(merged, mode="drop")
+    live = (ids < v) & (bits != 0)
+    return dst.at[jnp.where(live, ids, v)].set(merged, mode="drop")
