@@ -320,3 +320,70 @@ def test_steps_per_dispatch_multidevice():
     b = run(4)  # 8 batches/epoch: two full dispatches
     for la, lb in zip(a["epoch_losses"], b["epoch_losses"]):
         assert abs(la - lb) < 1e-4 * max(1.0, abs(la)), (la, lb)
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM-style preemption (SURVEY §5 failure detection): mid-training
+    the loop saves a checkpoint at a dispatch boundary and returns early;
+    the next identical invocation restores and completes the schedule."""
+    import threading
+
+    from two_tower_models_tpu.training.loop import train
+    from two_tower_models_tpu.utils.logging import JsonlLogger
+
+    flag = threading.Event()
+    events = []
+
+    class FlagAtStep3(JsonlLogger):
+        def log(self, event, **kw):
+            events.append((event, kw))
+            if event == "step" and kw.get("step", 0) >= 3:
+                flag.set()
+            super().log(event, **kw)
+
+    exp = ExperimentConfig(
+        model=SMALL_MODEL,
+        data=SMALL_DATA,
+        train=TrainConfig(
+            batch_size=32, num_epochs=3, log_every=1, seed=7,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ),
+    )
+    s1 = train(exp, FlagAtStep3(echo=False), preempt_flag=flag)
+    assert s1["preempted"] is True
+    preempt_step = int(s1["state"].step)
+    assert 0 < preempt_step < 3 * 8  # stopped before the full schedule
+    assert any(e == "preempted" for e, _ in events)
+
+    # resume: restores the saved step, trains the REMAINING steps only
+    events2 = []
+
+    class Recorder(JsonlLogger):
+        def log(self, event, **kw):
+            events2.append((event, kw))
+            super().log(event, **kw)
+
+    s2 = train(exp, Recorder(echo=False))
+    assert s2["preempted"] is False
+    restored = [kw for e, kw in events2 if e == "restored"]
+    assert restored and restored[0]["step"] == preempt_step
+    assert int(s2["state"].step) == 3 * 8
+    assert np.isfinite(s2["final_loss"]) and s2["recall_at_k"] is not None
+
+
+def test_install_preemption_handler_sigterm():
+    """The CLI wiring: SIGTERM sets the flag (and only the flag)."""
+    import os
+    import signal as _signal
+
+    from two_tower_models_tpu.training.loop import install_preemption_handler
+
+    prev = _signal.getsignal(_signal.SIGTERM)
+    try:
+        flag = install_preemption_handler()
+        assert not flag.is_set()
+        os.kill(os.getpid(), _signal.SIGTERM)
+        # delivery is synchronous for a self-signal on the main thread
+        assert flag.is_set()
+    finally:
+        _signal.signal(_signal.SIGTERM, prev)

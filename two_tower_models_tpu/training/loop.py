@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import argparse
 import math
+import signal
+import threading
 import time
 from dataclasses import replace
 from typing import Optional
@@ -38,6 +40,24 @@ from two_tower_models_tpu.training.step import make_eval_recall_fn, make_train_s
 from two_tower_models_tpu.utils.logging import JsonlLogger
 
 
+def install_preemption_handler(
+    flag: Optional[threading.Event] = None,
+) -> threading.Event:
+    """Route SIGTERM (the preemption notice on preemptible/spot TPU VMs) to a
+    flag the train loop checks at dispatch boundaries: the current state is
+    checkpointed and the loop exits cleanly instead of losing the epoch.
+    The reference has no failure handling at all (SURVEY §5 — a crash loses
+    everything); with this, kill -TERM <pid> == "finish the step, save,
+    exit", and the next identical invocation resumes from the saved step."""
+    flag = flag or threading.Event()
+
+    def _handler(signum, frame):
+        flag.set()
+
+    signal.signal(signal.SIGTERM, _handler)
+    return flag
+
+
 def _hits_gate(every: int, global_step: int, executed: int) -> bool:
     """True if any step in this dispatch's covered range (global_step -
     executed, global_step] hits the every-N modulo: (g // every) increments
@@ -46,22 +66,32 @@ def _hits_gate(every: int, global_step: int, executed: int) -> bool:
 
 
 def train(
-    exp: ExperimentConfig, logger: Optional[JsonlLogger] = None
+    exp: ExperimentConfig,
+    logger: Optional[JsonlLogger] = None,
+    preempt_flag: Optional[threading.Event] = None,
 ) -> dict:
-    """Run the experiment; returns summary dict (final loss, recall, timings)."""
+    """Run the experiment; returns summary dict (final loss, recall, timings).
+
+    ``preempt_flag``: optional event (see ``install_preemption_handler``);
+    when set mid-training the loop checkpoints (if configured) and returns
+    early with ``summary["preempted"] = True``."""
     logger = logger or JsonlLogger()
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
     prev_debug_nans = jax.config.jax_debug_nans
     if train_cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     try:
-        return _train_inner(exp, logger)
+        return _train_inner(exp, logger, preempt_flag)
     finally:
         if train_cfg.debug_nans:
             jax.config.update("jax_debug_nans", prev_debug_nans)
 
 
-def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
+def _train_inner(
+    exp: ExperimentConfig,
+    logger: JsonlLogger,
+    preempt_flag: Optional[threading.Event] = None,
+) -> dict:
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
 
     label_cols = model_cfg.num_tasks * (2 if model_cfg.kd else 1)
@@ -328,6 +358,28 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
                 )
             if ckpt_mgr and _gate(train_cfg.checkpoint_every):
                 ckpt_mgr.save(state)
+            if preempt_flag is not None and preempt_flag.is_set():
+                # Dispatch boundary = consistent state; save it, land the
+                # write (close waits), and exit cleanly.  The resume logic
+                # below reconstructs the exact schedule position from the
+                # restored step on the next identical invocation.
+                if ckpt_mgr:
+                    ckpt_mgr.save(state, force=True)
+                    ckpt_mgr.close()
+                step_now = int(state.step)
+                logger.log("preempted", step=step_now, epoch=epoch)
+                secs = time.monotonic() - t_train0
+                return {
+                    "epoch_losses": [l for _, l in epoch_losses],
+                    "epoch_numbers": [e for e, _ in epoch_losses],
+                    "final_loss": epoch_losses[-1][1] if epoch_losses else None,
+                    "recall_at_k": None,
+                    "train_seconds": secs,
+                    "examples_per_sec": examples / max(secs, 1e-9),
+                    "state": state,
+                    "corpus": None,
+                    "preempted": True,
+                }
         avg_loss = float(loss_sum) / max(n_run, 1)  # one sync per epoch
         epoch_losses.append((epoch, avg_loss))
         logger.log(
@@ -355,6 +407,7 @@ def _train_inner(exp: ExperimentConfig, logger: JsonlLogger) -> dict:
         "examples_per_sec": examples / max(train_seconds, 1e-9),
         "state": state,
         "corpus": corpus,
+        "preempted": False,
     }
 
 
@@ -460,13 +513,17 @@ def main(argv=None):
     _maybe_init_multihost(args)
     exp = config_from_args(args)
     logger = JsonlLogger(args.log_file, tensorboard_dir=args.tensorboard_dir)
+    preempt = install_preemption_handler()
     try:
-        summary = train(exp, logger)
+        summary = train(exp, logger, preempt_flag=preempt)
     finally:
         logger.close()
     for epoch, loss in zip(summary["epoch_numbers"], summary["epoch_losses"]):
         print(f"Epoch [{epoch + 1}/{exp.train.num_epochs}] - Loss: {loss:.4f}")
-    print(f"recall@{exp.train.eval_top_k}: {summary['recall_at_k']:.4f}")
+    if summary.get("preempted"):
+        print("preempted: state checkpointed; re-run to resume")
+    else:
+        print(f"recall@{exp.train.eval_top_k}: {summary['recall_at_k']:.4f}")
     return summary
 
 
