@@ -292,3 +292,22 @@ def test_retrieve_light_ranker_approx():
     # reranked results come from the MIPS candidate pool: all rows distinct
     for row in np.asarray(out):
         assert len(set(row.tolist())) == 5
+
+
+@pytest.mark.parametrize("nt,b,k", [(300, 16, 20), (265, 16, 20)])
+def test_select_topk_chunked_matches_lax(monkeypatch, nt, b, k):
+    """Hierarchical (chunked) select for inputs taller than the VMEM scratch
+    limit: per-chunk top-k + survivor merge stays bit-identical to lax.top_k
+    including cross-chunk ties and a short tail chunk (265: 16-row tail < k,
+    exercising the survivor-list pad).  n_chunks*k > the limit also forces
+    the recursive merge."""
+    import two_tower_models_tpu.ops.pallas.mips_topk as M
+
+    monkeypatch.setattr(M, "_SELECT_MAX_ROWS", 64)
+    x = jax.random.normal(jax.random.key(31), (b, nt))
+    x = jnp.round(x * 2) / 2  # heavy ties, spanning chunk boundaries
+    xt = jnp.pad(x.T, ((0, (-nt) % 8), (0, 0)), constant_values=float("-inf"))
+    val_t, idx_t = M.select_topk_t(xt, k)
+    rs, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(idx_t[:, :b].T), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))

@@ -211,3 +211,65 @@ def test_sharded_serving_engine_matches_single_device(light_ranker):
     ref_out = ref_engine.query(batch.user_id, batch.user_features, batch.user_history)
     out = sharded_engine.query(batch.user_id, batch.user_features, batch.user_history)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+
+
+@requires_8
+def test_sharded_serving_engine_history_len():
+    """history_len plumbs through the sharded serving path: parity with the
+    single-device masked query, and a real effect vs the unmasked one."""
+    from two_tower_models_tpu.serving import RetrievalEngine
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    params = two_tower.init_params(jax.random.key(0), CFG)
+    ids, feats = _catalog(jax.random.key(3), CFG, 90)
+    batch = make_batch(jax.random.key(9), CFG, 16)
+    lens = jax.random.randint(jax.random.key(5), (16,), 1, CFG.history_len + 1)
+
+    ref_engine = RetrievalEngine.from_params(params, CFG, ids, feats)
+    sharded_engine = RetrievalEngine.from_params(params, CFG, ids, feats, mesh=mesh)
+    ref_out = ref_engine.query(
+        batch.user_id, batch.user_features, batch.user_history, history_len=lens
+    )
+    out = sharded_engine.query(
+        batch.user_id, batch.user_features, batch.user_history, history_len=lens
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    unmasked = sharded_engine.query(
+        batch.user_id, batch.user_features, batch.user_history
+    )
+    assert (np.asarray(out) != np.asarray(unmasked)).any()
+
+
+@requires_8
+@pytest.mark.slow
+def test_sharded_topk_chunked_select_on_tall_tilemax(monkeypatch):
+    """A shard whose tile-max matrix exceeds the select kernel's VMEM limit
+    runs the HIERARCHICAL (chunked) select inside shard_map: parity with the
+    single-device scan.  The limit is monkeypatched small so the split
+    triggers at test scale."""
+    import two_tower_models_tpu.ops.pallas.mips_topk as M
+
+    monkeypatch.setattr(M, "_SELECT_MAX_ROWS", 64)  # 144 padded tiles/shard
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    c, di, b, k = 140_000, 16, 8, 10  # 3 chunks of <=64, 30 survivors
+    corpus = jax.random.normal(jax.random.key(3), (c, di))
+    query = jax.random.normal(jax.random.key(4), (b, di))
+    pad = (-c) % 8
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0)))
+
+    def f(corpus_shard, query):
+        return sharded_mips_topk(
+            corpus_shard, query, k, ("model",), valid_count=c
+        )
+
+    idx, scores, emb = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("model", None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(corpus_p, query)
+    ref_idx, ref_scores, ref_emb = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores), rtol=1e-6)

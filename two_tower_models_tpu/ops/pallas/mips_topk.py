@@ -56,9 +56,23 @@ def _tilemax_kernel(valid_ref, q_ref, c_ref, m_ref, *, tile: int, chunk: int):
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [CHUNK, QB] — transposed so the tile axis is the leading one
-    row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + ci * chunk
-    s_t = jnp.where(row < valid_ref[0, 0], s_t, _NEG_INF)
-    m_ref[...] = jnp.max(s_t.reshape(chunk // tile, tile, qb), axis=1)
+
+    # The padding mask (rows >= valid_count -> -inf) costs ~3 VPU passes over
+    # the full [CHUNK, QB] score block — as much as the tile-max reduce
+    # itself — but only chunks overlapping the valid boundary need it.
+    # Branching per chunk cuts pass 1's VPU work roughly in half (all-but-one
+    # chunk takes the unmasked branch when the corpus fills its padding).
+    needs_mask = (ci + 1) * chunk > valid_ref[0, 0]
+
+    @pl.when(needs_mask)
+    def _masked():
+        row = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0) + ci * chunk
+        s = jnp.where(row < valid_ref[0, 0], s_t, _NEG_INF)
+        m_ref[...] = jnp.max(s.reshape(chunk // tile, tile, qb), axis=1)
+
+    @pl.when(jnp.logical_not(needs_mask))
+    def _unmasked():
+        m_ref[...] = jnp.max(s_t.reshape(chunk // tile, tile, qb), axis=1)
 
 
 def tile_max_scores(
@@ -142,8 +156,8 @@ def _select_topk_kernel(x_hbm, idx_ref, val_ref, xs, sem, *, k: int, qb: int):
 
 
 # Above this row count the [NT, 128] f32 scratch won't fit scoped VMEM
-# alongside its temporaries; callers fall back to lax.top_k (corpora beyond
-# ~1.5M rows at tile=128).
+# alongside its temporaries; select_topk_t splits taller inputs into
+# row chunks and merges (hierarchical select, bit-exact — see below).
 _SELECT_MAX_ROWS = 12288
 
 
@@ -154,8 +168,53 @@ def select_topk_t(
 ):
     """(values [k, B], indices [k, B]) of the per-column top-k, descending,
     ties broken by lowest index — bit-identical to lax.top_k on scores_t.T.
-    Rows beyond a multiple of 8 are padded with -inf by the caller."""
+    Rows beyond a multiple of 8 are padded with -inf by the caller.
+
+    Inputs taller than the kernel's VMEM scratch limit run HIERARCHICALLY:
+    per-chunk top-k, then a final select over the k*n_chunks survivors.
+    Bit-exactness survives the split: each chunk's survivor list is ordered
+    (value desc, global index asc), chunks are concatenated in ascending
+    index order, so "lowest position in the concatenated list" — the final
+    round's tie rule — coincides with "lowest global index" for equal
+    values.  (Degenerate caveat: if a column holds fewer than k finite
+    entries, -inf picks may point at intra-chunk pad rows; callers
+    guarantee k <= finite rows, as the mips pipeline does.)"""
     nt, b = scores_t.shape
+    if nt > _SELECT_MAX_ROWS:
+        ch = _SELECT_MAX_ROWS
+        n_chunks = -(-nt // ch)
+        if n_chunks * k >= nt:
+            # The survivor list wouldn't shrink (k within a hair of the
+            # chunk size) — chunking can't converge; lax.top_k IS the
+            # semantics reference, so it's trivially bit-exact.
+            v, i = jax.lax.top_k(scores_t.T, k)
+            return v.T, i.T
+        vals, idxs = [], []
+        for c in range(n_chunks):
+            part = scores_t[c * ch : (c + 1) * ch]
+            if part.shape[0] % 8:
+                part = jnp.pad(
+                    part, ((0, (-part.shape[0]) % 8), (0, 0)),
+                    constant_values=_NEG_INF,
+                )
+            kk = min(k, part.shape[0])
+            v, i = select_topk_t(part, kk, query_block)
+            if kk < k:  # short tail chunk: pad its survivor list
+                v = jnp.pad(v, ((0, k - kk), (0, 0)), constant_values=_NEG_INF)
+                i = jnp.pad(i, ((0, k - kk), (0, 0)))
+            vals.append(v)
+            idxs.append(i + c * ch)
+        cat_v = jnp.concatenate(vals)  # [n_chunks*k, B]
+        cat_i = jnp.concatenate(idxs)
+        if cat_v.shape[0] % 8:
+            cat_v = jnp.pad(
+                cat_v, ((0, (-cat_v.shape[0]) % 8), (0, 0)),
+                constant_values=_NEG_INF,
+            )
+            cat_i = jnp.pad(cat_i, ((0, cat_v.shape[0] - cat_i.shape[0]), (0, 0)))
+        fv, fp = select_topk_t(cat_v, k, query_block)  # positions into cat
+        fi = jnp.take_along_axis(cat_i, fp, axis=0)
+        return fv, fi
     qb = b if b <= query_block else query_block
     assert b % qb == 0 and nt % 8 == 0, (nt, b)
     assert k <= nt
@@ -201,36 +260,43 @@ def _gather_rescore_kernel(
 ):
     g = pl.program_id(0)
 
-    for i in range(_QG):  # static unroll: one sub-query at a time
-        buf = i % 2
-        qi = g * _QG + i
+    def dma(i, j):
+        return pltpu.make_async_copy(
+            corpus_ref.at[pl.ds(tidx_ref[g * _QG + i, j] * tile, tile), :],
+            cand_ref.at[i % 2, pl.ds(j * tile, tile), :],
+            sems.at[i % 2, j % _RING],
+        )
 
-        def dma(j):
-            return pltpu.make_async_copy(
-                corpus_ref.at[pl.ds(tidx_ref[qi, j] * tile, tile), :],
-                cand_ref.at[buf, pl.ds(j * tile, tile), :],
-                sems.at[buf, j % _RING],
-            )
-
-        def warm(j, _):
-            dma(j).start()
+    def warm(i):
+        def w(j, _):
+            dma(i, j).start()
             return 0
 
-        jax.lax.fori_loop(0, min(_RING, k), warm, 0)
+        jax.lax.fori_loop(0, min(_RING, k), w, 0)
+
+    # Static unroll over sub-queries, software-pipelined one ahead: sub-query
+    # i+1's ring fills (into the other cand buffer / sem bank) BEFORE i's
+    # drain, so the HBM pipe holds 2*_RING tile DMAs and never empties at
+    # sub-query boundaries.  Safe: the i-1 user of buffer (i+1) % 2 finished
+    # all its waits and its matmul read before warm(i+1) issues.
+    warm(0)
+    for i in range(_QG):
+        if i + 1 < _QG:
+            warm(i + 1)
 
         def steady(j, _):
-            dma(j).wait()
+            dma(i, j).wait()
 
             @pl.when(j + _RING < k)
             def _():
-                dma(j + _RING).start()
+                dma(i, j + _RING).start()
 
             return 0
 
         jax.lax.fori_loop(0, k, steady, 0)
 
         out_ref[i : i + 1, :] = jax.lax.dot_general(
-            q_ref[i : i + 1, :], cand_ref[buf],
+            q_ref[i : i + 1, :], cand_ref[i % 2],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [1, k*TILE]
@@ -338,27 +404,21 @@ def mips_topk_exact_pallas(
     query_p = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
     bp = query_p.shape[0]
 
-    if n_tiles <= _SELECT_MAX_ROWS:
-        m_t = tile_max_scores(
-            query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb,
-            transposed=True,
-        )  # [NT, BP] — kernel-native layout, fed straight to the select
-        # tournament select wants lanes in 128-groups (or a single full
-        # block) and a sublane-aligned row count
-        spad = 0 if bp <= 128 else (-bp) % 128
-        ntpad = (-m_t.shape[0]) % 8
-        if spad or ntpad:
-            m_t = jnp.pad(
-                m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
-            )
-        _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
-        tile_idx = idx_t[:, :bp].T  # [BP, k]
-    else:
-        # tile-max matrix too tall for the select scratch: XLA top_k
-        m = tile_max_scores(
-            query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb
-        )  # [BP, NT]
-        _, tile_idx = jax.lax.top_k(m, k)
+    m_t = tile_max_scores(
+        query_p, corpus_pc, tile, valid, chunk=chunk, query_block=qb,
+        transposed=True,
+    )  # [NT, BP] — kernel-native layout, fed straight to the select
+    # tournament select wants lanes in 128-groups (or a single full
+    # block) and a sublane-aligned row count; taller-than-VMEM tile-max
+    # matrices split hierarchically inside select_topk_t
+    spad = 0 if bp <= 128 else (-bp) % 128
+    ntpad = (-m_t.shape[0]) % 8
+    if spad or ntpad:
+        m_t = jnp.pad(
+            m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
+        )
+    _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
+    tile_idx = idx_t[:, :bp].T  # [BP, k]
 
     # lane-align the width for the gather kernel's row DMAs
     dpad = (-d) % 128
