@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from two_tower_models_tpu.config import ModelConfig
+from two_tower_models_tpu.config import HistoryEncoderConfig, ModelConfig
 from two_tower_models_tpu.models import two_tower
 from two_tower_models_tpu.serving import RetrievalEngine
 
@@ -57,6 +57,28 @@ def test_from_params_builds_trained_corpus():
     idx = eng.query(uid, feat, hist)
     assert idx.shape == (8, CFG.num_items)
     assert int(idx.min()) >= 0 and int(idx.max()) < 96
+
+
+def test_query_honors_history_len():
+    """Serving exposes per-example history lengths: masked query equals
+    core retrieve() with the same lengths and differs from the unmasked
+    query when real lengths < H."""
+    cfg = dataclasses.replace(
+        CFG, history_encoder=HistoryEncoderConfig(num_heads=2, num_layers=1)
+    )
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    corpus = jax.random.normal(jax.random.key(1), (128, 16))
+    eng = RetrievalEngine(params, cfg, corpus)
+    uid, feat, hist = _inputs()
+    lens = jnp.array([1, 2, 3, 4, 1, 2, 3, 4], jnp.int32)
+
+    got = eng.query(uid, feat, hist, history_len=lens)
+    want = two_tower.retrieve(
+        params, cfg, corpus, uid, feat, hist, history_len=lens
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    unmasked = eng.query(uid, feat, hist)
+    assert (np.asarray(got) != np.asarray(unmasked)).any()
 
 
 def test_refresh_swaps_params_without_retrace():

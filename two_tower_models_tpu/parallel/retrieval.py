@@ -156,8 +156,10 @@ def make_sharded_retrieval_fn(
     lookup_strategy: str = "psum",
     tower_tp: bool = False,
 ):
-    """Serving-side sharded retrieval: (params, corpus, valid_count, user_id,
-    user_features, user_history) -> [B, num_items] corpus indices.
+    """Serving-side sharded retrieval: (params, corpus, user_id,
+    user_features, user_history, history_len, valid_count) ->
+    [B, num_items] corpus indices, ``valid_count`` static and
+    ``history_len`` optionally None (fixed-length histories).
 
     Queries are replicated (serving batches are small; the corpus is the big
     thing); the corpus is row-sharded over EVERY device so each chip scans
@@ -168,9 +170,10 @@ def make_sharded_retrieval_fn(
     """
     rt = model_cfg.mips_recall_target if model_cfg.approx_mips else None
 
-    def query_fn(params, corpus_shard, uid, ufeat, uhist, valid_count):
+    def query_fn(params, corpus_shard, uid, ufeat, uhist, hlen, valid_count):
         user_emb, ranker_embs = _user_tower(
-            params, model_cfg, uid, ufeat, uhist, lookup_strategy, tower_tp
+            params, model_cfg, uid, ufeat, uhist, lookup_strategy, tower_tp,
+            hlen,
         )
         topk_fn = lambda q, k: sharded_mips_topk(
             corpus_shard, q, k, ALL_AXES, valid_count=valid_count,
@@ -180,14 +183,19 @@ def make_sharded_retrieval_fn(
             params, model_cfg, user_emb, ranker_embs, topk_fn
         )
 
-    def run(params, corpus, uid, ufeat, uhist, valid_count: int):
+    def run(params, corpus, uid, ufeat, uhist, hlen, valid_count: int):
+        # (uid, ufeat, uhist, hlen) as one replicated pytree: hlen may be
+        # None (fixed-length histories), and tree_map drops absent leaves
+        # from the spec exactly as the training Batch does.
+        queries = (uid, ufeat, uhist, hlen)
+        q_specs = jax.tree_util.tree_map(lambda _: P(), queries)
         mapped = jax.shard_map(
-            lambda p, c, a, b, h: query_fn(p, c, a, b, h, valid_count),
+            lambda p, c, q: query_fn(p, c, *q, valid_count),
             mesh=mesh,
-            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), P(), P(), P()),
+            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), q_specs),
             out_specs=P(),
             check_vma=False,
         )
-        return mapped(params, corpus, uid, ufeat, uhist)
+        return mapped(params, corpus, queries)
 
-    return jax.jit(run, static_argnums=(5,))
+    return jax.jit(run, static_argnums=(6,))

@@ -56,9 +56,10 @@ class RetrievalEngine:
         )
 
         if mesh is None:
-            def _query(params, corpus, user_id, user_features, user_history):
+            def _query(params, corpus, user_id, user_features, user_history, hlen):
                 return retrieve(
-                    params, cfg, corpus, user_id, user_features, user_history
+                    params, cfg, corpus, user_id, user_features, user_history,
+                    history_len=hlen,
                 )
 
             self._query = jax.jit(_query)
@@ -69,7 +70,7 @@ class RetrievalEngine:
 
             fn = make_sharded_retrieval_fn(cfg, mesh, tower_tp=tower_tp)
             vc = self._valid_count
-            self._query = lambda p, c, uid, uf, uh: fn(p, c, uid, uf, uh, vc)
+            self._query = lambda p, c, uid, uf, uh, hl: fn(p, c, uid, uf, uh, hl, vc)
 
     @classmethod
     def from_params(
@@ -111,10 +112,16 @@ class RetrievalEngine:
         user_id: jnp.ndarray,  # [B]
         user_features: jnp.ndarray,  # [B, IU]
         user_history: jnp.ndarray,  # [B, H]
+        history_len: jnp.ndarray | None = None,  # [B] int32, optional
     ) -> jnp.ndarray:
-        """Top ``cfg.num_items`` corpus indices per user, [B, num_items]."""
+        """Top ``cfg.num_items`` corpus indices per user, [B, num_items].
+
+        ``history_len`` marks per-example real history lengths (positions
+        beyond it are padding, masked in the encoder exactly as in
+        training); None means all H positions are real."""
         return self._query(
-            self._params, self._corpus, user_id, user_features, user_history
+            self._params, self._corpus, user_id, user_features, user_history,
+            history_len,
         )
 
     def query_raw(
@@ -122,6 +129,7 @@ class RetrievalEngine:
         user_keys,  # [B] raw keys: uint64 surrogate ids or strings/bytes
         user_features: jnp.ndarray,  # [B, IU]
         history_keys,  # [B, H] raw item keys, newest first
+        history_len: jnp.ndarray | None = None,  # [B] int32, optional
     ) -> jnp.ndarray:
         """Serve from RAW entity keys: the same host-side C++ hash the
         training ingest uses (training.ingest — fixed per-table seeds) maps
@@ -135,6 +143,7 @@ class RetrievalEngine:
             jnp.asarray(hash_user_keys(user_keys, self._cfg)),
             user_features,
             jnp.asarray(hash_item_keys(history_keys, self._cfg)),
+            history_len,
         )
 
     def warmup(self, batch_size: int) -> None:
