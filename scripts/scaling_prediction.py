@@ -34,6 +34,9 @@ def main(argv=None):
                    help="per-chip ICI send bandwidth, GB/s (v5e: 1600 Gbps)")
     p.add_argument("--mxu-eff", type=float, default=0.5,
                    help="assumed MXU efficiency for the loss-growth FLOPs")
+    p.add_argument("--ring", action="store_true",
+                   help="predict with ring_negatives (ppermute ring instead "
+                        "of the all_gather negative pool)")
     args = p.parse_args(argv)
 
     from two_tower_models_tpu.config import (
@@ -64,11 +67,11 @@ def main(argv=None):
     b_l, di = args.batch_per_chip, cfg.item_id_embedding_dim
 
     for mesh in (
-        MeshConfig(data=2, model=1),
-        MeshConfig(data=4, model=1),
-        MeshConfig(data=8, model=1),
-        MeshConfig(data=4, model=2),
-        MeshConfig(data=2, model=4),
+        MeshConfig(data=2, model=1, ring_negatives=args.ring),
+        MeshConfig(data=4, model=1, ring_negatives=args.ring),
+        MeshConfig(data=8, model=1, ring_negatives=args.ring),
+        MeshConfig(data=4, model=2, ring_negatives=args.ring),
+        MeshConfig(data=2, model=4, ring_negatives=args.ring),
     ):
         n = mesh.data * mesh.model
         b_g = b_l * mesh.data

@@ -59,6 +59,7 @@ _OP_RE = re.compile(
     r"(?:-start)?\("
 )
 _GROUP_RE = re.compile(r"replica_groups=\{\{([0-9,]+)\}")
+_PAIRS_RE = re.compile(r"source_target_pairs=\{\{(\d+),(\d+)\}")
 
 
 def _shape_bytes(s: str) -> int:
@@ -83,6 +84,16 @@ def hlo_collective_bytes(hlo: str, mesh) -> dict:
             continue  # async completion: counted at the -start
         m = _OP_RE.search(line)
         if not m:
+            continue
+        if m.group(2) == "collective-permute":
+            # permutes carry source_target_pairs, not replica_groups; the
+            # hop stride recovers the mesh axis (1 = minor/model axis)
+            pr = _PAIRS_RE.search(line)
+            if not pr:
+                continue
+            stride = abs(int(pr.group(2)) - int(pr.group(1)))
+            axis = "model" if (stride == 1 and n_m > 1) else "data"
+            totals[("collective_permute", axis)] += _shape_bytes(m.group(1))
             continue
         g = _GROUP_RE.search(line)
         ids = [int(x) for x in g.group(1).split(",")] if g else []
@@ -136,6 +147,28 @@ def test_predicted_bytes_match_hlo_psum(mesh_cfg):
         a, p = actual.get(key, 0), predicted.get(key, 0)
         # scalars fold unpredictably into combined tuples; 2% + 64B slack
         assert abs(a - p) <= max(64, 0.02 * max(a, p)), (key, a, p, actual, predicted)
+
+
+@requires_8
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [MeshConfig(data=8, model=1, ring_negatives=True),
+     MeshConfig(data=4, model=2, ring_negatives=True)],
+)
+def test_predicted_bytes_match_hlo_ring(mesh_cfg):
+    """Ring-negatives mode: the predicted collective-permute hops (one fwd
+    block + bwd block + bwd f32 grad block, each once in the HLO text, n_d
+    executions on the wire) must match the compiled program, and the
+    [B_global, DI] pool gather must be GONE."""
+    mesh, hlo = _compile_sharded_step(mesh_cfg, "psum")
+    actual = hlo_collective_bytes(hlo, mesh)
+    predicted = predicted_hlo_bytes(
+        step_collectives(CFG, mesh_cfg, global_batch=64, lookup_strategy="psum")
+    )
+    for key in set(actual) | set(predicted):
+        a, p = actual.get(key, 0), predicted.get(key, 0)
+        assert abs(a - p) <= max(64, 0.02 * max(a, p)), (key, a, p, actual, predicted)
+    assert ("collective_permute", "data") in actual
 
 
 @requires_8

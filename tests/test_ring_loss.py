@@ -1,0 +1,198 @@
+"""Ring-pass global negatives (parallel.ring_loss): the flash-style
+ppermute ring must reproduce the all-gather denominator — values, gradients,
+and the full sharded train step — without ever materializing the
+[B_global, DI] pool."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tests.conftest import make_batch
+from two_tower_models_tpu.config import (
+    HistoryEncoderConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+    preset,
+)
+from two_tower_models_tpu.models import two_tower
+from two_tower_models_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from two_tower_models_tpu.parallel.ring_loss import ring_lse
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+B_L, DI, N = 8, 16, 8  # per-shard batch, dim, data shards
+
+
+def _mesh():
+    return make_mesh(MeshConfig(data=N, model=1))
+
+
+def _embs(dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 2)
+    user = jax.random.normal(ks[0], (N * B_L, DI)).astype(dtype)
+    item = jax.random.normal(ks[1], (N * B_L, DI)).astype(dtype)
+    return user, item
+
+
+def _gathered_lse(user_emb, item_emb):
+    negatives = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
+    return jax.nn.logsumexp(
+        jax.lax.dot_general(
+            user_emb, negatives, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ),
+        axis=-1,
+    )
+
+
+def _shmap(fn, mesh):
+    return jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
+@requires_8
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_ring_lse_matches_gathered(dtype):
+    mesh = _mesh()
+    user, item = _embs(dtype)
+    got = _shmap(lambda u, i: ring_lse(u, i, DATA_AXIS), mesh)(user, item)
+    want = _shmap(_gathered_lse, mesh)(user, item)
+    rtol = 1e-6 if dtype == jnp.float32 else 2e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=rtol)
+
+
+@requires_8
+def test_ring_lse_grads_match_gathered():
+    """d_user AND d_item of a weighted lse sum, ring vs all-gather: the
+    traveling gradient buffer must deliver every chip's contribution home."""
+    mesh = _mesh()
+    user, item = _embs()
+    w = jax.random.normal(jax.random.key(7), (N * B_L,))
+
+    def loss(fn):
+        def f(u, i, w):
+            return jax.lax.psum(jnp.sum(fn(u, i) * w), DATA_AXIS)
+
+        mapped = jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return lambda u, i: mapped(u, i, w)
+
+    ring = jax.jit(jax.grad(loss(lambda u, i: ring_lse(u, i, DATA_AXIS)),
+                            argnums=(0, 1)))
+    ref = jax.jit(jax.grad(loss(_gathered_lse), argnums=(0, 1)))
+    gu, gi = ring(user, item)
+    ru, ri = ref(user, item)
+    # ring accumulates p-weighted matmuls hop by hop; vs the one-shot
+    # gathered matmul that is a different f32 summation order
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), rtol=5e-4, atol=1e-6)
+
+
+@requires_8
+@pytest.mark.parametrize(
+    "preset_name",
+    ["two_tower_base_retrieval", "two_tower_with_debiasing",
+     "two_tower_plus_light_ranker"],
+)
+def test_ring_loss_full_parity(preset_name):
+    """sharded_loss_fn with ring_negatives: loss AND every grad leaf match
+    the single-chip objective (same oracle as the all-gather parity test)."""
+    from two_tower_models_tpu.parallel.sharding import param_pspecs
+    from two_tower_models_tpu.parallel.train_step import sharded_loss_fn
+    from tests.test_parallel import _small_preset
+
+    cfg = _small_preset(preset_name)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    mesh_cfg = MeshConfig(data=4, model=2, ring_negatives=True)
+    params = two_tower.init_params(jax.random.key(0), cfg)
+    batch = make_batch(jax.random.key(1), cfg, 32)
+    batch_specs = type(batch)(*([P(DATA_AXIS)] * 7))
+
+    def loss_sharded(params, batch):
+        return jax.shard_map(
+            lambda p, b: sharded_loss_fn(p, cfg, mesh_cfg, b)[0],
+            mesh=mesh,
+            in_specs=(param_pspecs(params), batch_specs),
+            out_specs=P(),
+            check_vma=False,
+        )(params, batch)
+
+    loss_s, g_s = jax.value_and_grad(loss_sharded)(params, batch)
+    loss_r, g_r = jax.value_and_grad(
+        lambda p: two_tower.train_loss(p, cfg, batch)[0]
+    )(params)
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    flat_r = {
+        jax.tree_util.keystr(p): g
+        for p, g in jax.tree_util.tree_leaves_with_path(g_r)
+    }
+    atol = 5e-5 if cfg.light_ranker is not None else 1e-6
+    for path, g in jax.tree_util.tree_leaves_with_path(g_s):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(flat_r[key]), rtol=5e-4, atol=atol,
+            err_msg=f"grad mismatch at {key}",
+        )
+
+
+@requires_8
+def test_ring_program_has_no_negative_pool_gather():
+    """The compiled ring-mode step must contain NO data-axis all-gather of
+    the [B_global, DI] pool (only the [B_global] nuv normalizer gather)."""
+    import re
+
+    from two_tower_models_tpu.parallel.sharding import shard_state
+    from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+    from two_tower_models_tpu.training.state import create_train_state
+    from tests.test_parallel import _small_preset
+
+    cfg = _small_preset("two_tower_base_retrieval")
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    mesh_cfg = MeshConfig(data=8, model=1, ring_negatives=True)
+    tcfg = TrainConfig(batch_size=64, donate_state=False)
+    state = create_train_state(jax.random.key(0), cfg, tcfg, pack=False)
+    sharded = shard_state(state, mesh)
+    batch = make_batch(jax.random.key(1), cfg, 64)
+    step = make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
+    hlo = step.build(sharded, batch).lower(sharded, batch).compile().as_text()
+    assert "collective-permute" in hlo
+    # any all-gather producing a rank-2 [B_global, DI] result is the pool
+    pool = re.findall(r"f32\[64,16\][^\n]*all-gather", hlo)
+    assert not pool, pool
+
+
+def test_ring_reward_model_raises():
+    from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+
+    cfg = preset("two_tower_with_main_ranker_reward")
+    mesh_cfg = MeshConfig(data=2, model=1, ring_negatives=True)
+    with pytest.raises(ValueError, match="ring_negatives is incompatible"):
+        make_sharded_train_step(cfg, TrainConfig(), None, mesh_cfg)
+
+
+def test_ring_requires_global_negatives():
+    from two_tower_models_tpu.parallel.train_step import make_sharded_train_step
+
+    cfg = preset("two_tower_base_retrieval", user_value_weights=(1.0,))
+    mesh_cfg = MeshConfig(
+        data=2, model=1, ring_negatives=True, global_negatives=False
+    )
+    with pytest.raises(ValueError, match="requires global_negatives"):
+        make_sharded_train_step(cfg, TrainConfig(), None, mesh_cfg)

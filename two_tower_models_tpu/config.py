@@ -230,6 +230,14 @@ class MeshConfig:
     # exists for wide-tower configs.  feature_hidden_dim must divide by the
     # model-axis size.
     tower_tp: bool = False
+    # Compute the global-negative softmax denominator with a flash-style
+    # ppermute ring (parallel.ring_loss) instead of all_gather: identical
+    # semantics, O(B_local) memory at ANY global batch (the [B_global, DI]
+    # pool never materializes), comm issued as n overlappable hops.  Wins
+    # when B_global * DI is HBM-material (very large global batches);
+    # requires global_negatives, incompatible with reward_model (which
+    # needs the full score matrix anyway).
+    ring_negatives: bool = False
 
 
 @dataclass(frozen=True)

@@ -64,10 +64,13 @@ COLLECTIVE_LATENCY_S = 2e-6
 @dataclasses.dataclass(frozen=True)
 class Collective:
     name: str
-    op: str  # all_reduce | all_gather | reduce_scatter | all_to_all
+    op: str  # all_reduce | all_gather | reduce_scatter | all_to_all | collective_permute
     axis: str  # 'data' | 'model'
     n: int  # participants
     payload_bytes: int  # per-chip INPUT bytes handed to the collective
+    # how many times the op EXECUTES per step (a ppermute inside a lax.scan
+    # body appears once in the HLO but fires once per ring hop)
+    executions: int = 1
 
     @property
     def wire_bytes(self) -> int:
@@ -76,23 +79,27 @@ class Collective:
         if n <= 1:
             return 0
         if self.op == "all_reduce":
-            return int(2 * (n - 1) / n * a)
+            return int(2 * (n - 1) / n * a) * self.executions
         if self.op == "all_gather":
-            return int((n - 1) * a)
+            return int((n - 1) * a) * self.executions
         if self.op in ("reduce_scatter", "all_to_all"):
-            return int((n - 1) / n * a)
+            return int((n - 1) / n * a) * self.executions
+        if self.op == "collective_permute":
+            # one hop: every chip sends its full payload once
+            return a * self.executions
         raise ValueError(self.op)
 
     @property
     def hlo_result_bytes(self) -> int:
         """Bytes of the collective's RESULT array in the SPMD program — the
-        quantity test_comms.py extracts from the compiled HLO."""
+        quantity test_comms.py extracts from the compiled HLO (static text:
+        executions inside loop bodies do NOT multiply here)."""
         n, a = self.n, self.payload_bytes
         if self.op == "all_gather":
             return a * n
         if self.op == "reduce_scatter":
             return a // n
-        return a  # all_reduce / all_to_all: result == operand
+        return a  # all_reduce / all_to_all / collective_permute: result == operand
 
 
 def param_byte_split(model_cfg: ModelConfig, mesh_cfg: MeshConfig):
@@ -170,7 +177,28 @@ def step_collectives(
             b_l * model_cfg.item_features_size * f32)
 
     # --- forward: cross-chip negative pool + nuv max-norm over `data` ---
-    if n_d > 1 and mesh_cfg.global_negatives:
+    ring = (
+        mesh_cfg.ring_negatives
+        and mesh_cfg.global_negatives
+        and not model_cfg.reward_model
+    )
+    if n_d > 1 and mesh_cfg.global_negatives and ring:
+        # parallel.ring_loss: n_d block hops forward; n_d (block + f32 grad
+        # block) hops backward.  Total wire ~= all_gather + reduce_scatter
+        # of the global pool, but O(B_local) memory and per-hop overlap.
+        out.append(Collective(
+            "negatives:ring(fwd block)", "collective_permute", "data", n_d,
+            b_l * di * cb, executions=n_d,
+        ))
+        out.append(Collective(
+            "negatives:ring(bwd block)", "collective_permute", "data", n_d,
+            b_l * di * cb, executions=n_d,
+        ))
+        out.append(Collective(
+            "negatives:ring(bwd grad)", "collective_permute", "data", n_d,
+            b_l * di * f32, executions=n_d,
+        ))
+    elif n_d > 1 and mesh_cfg.global_negatives:
         add("negatives:all_gather", "all_gather", "data", n_d, b_l * di * cb)
         add("negatives:d(gather)", "reduce_scatter", "data", n_d, n_d * b_l * di * cb)
     if n_d > 1 and model_cfg.light_ranker is None:

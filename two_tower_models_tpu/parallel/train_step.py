@@ -195,7 +195,13 @@ def sharded_loss_fn(
     b_local = user_emb.shape[0]
     n_data = jax.lax.axis_size(DATA_AXIS)
 
-    if mesh_cfg.global_negatives and n_data > 1:
+    use_ring = (
+        mesh_cfg.ring_negatives
+        and mesh_cfg.global_negatives
+        and n_data > 1
+        and not cfg.reward_model
+    )
+    if mesh_cfg.global_negatives and n_data > 1 and not use_ring:
         # Global negative pool: [n_data * B_local, DI], gathered over ICI.
         negatives = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
     else:
@@ -214,6 +220,12 @@ def sharded_loss_fn(
             user_emb, negatives.T, preferred_element_type=jnp.float32
         )
         lse = jax.nn.logsumexp(scores, axis=-1)
+    elif use_ring:
+        # Flash-style ppermute ring: the [B_global, DI] pool never
+        # materializes (parallel.ring_loss) — the at-scale denominator.
+        from two_tower_models_tpu.parallel.ring_loss import ring_lse
+
+        lse = ring_lse(user_emb, item_emb, DATA_AXIS)
     elif cfg.fused_loss:
         # Flash-style kernel: the [B_local, B_global] score matrix never
         # reaches HBM (ops.pallas.fused_softmax.fused_lse).
@@ -387,6 +399,18 @@ def make_sharded_train_step(
             f"tower_tp needs feature_hidden_dim "
             f"({model_cfg.feature_hidden_dim}) divisible by the model axis "
             f"({mesh.shape[MODEL_AXIS]})"
+        )
+    if mesh_cfg.ring_negatives and model_cfg.reward_model:
+        raise ValueError(
+            "ring_negatives is incompatible with reward_model: the reward "
+            "KL consumes the full [B_local, B_global] score matrix, so the "
+            "ring's O(B_local) memory win cannot apply — use the all_gather "
+            "path (ring_negatives=False)"
+        )
+    if mesh_cfg.ring_negatives and not mesh_cfg.global_negatives:
+        raise ValueError(
+            "ring_negatives shares negatives across the data axis; it "
+            "requires global_negatives=True"
         )
     tx = make_optimizer(train_cfg)
 

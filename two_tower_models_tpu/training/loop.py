@@ -117,6 +117,12 @@ def _train_inner(
                 "row-sharded tables already bound per-chip table cost "
                 "(parallel.embedding) — unset TrainConfig.lazy_table_adam"
             )
+        if mesh_cfg.ring_negatives and not mesh_cfg.explicit_collectives:
+            raise ValueError(
+                "ring_negatives needs the explicit shard_map step (the "
+                "GSPMD path traces the single-chip loss, where the ring "
+                "collective has no axis) — drop --gspmd"
+            )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh
@@ -448,6 +454,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1, help="table-sharding mesh axis")
     p.add_argument("--tower_tp", action="store_true",
                    help="tensor-parallel feature MLPs over the model axis (Megatron split)")
+    p.add_argument("--ring_negatives", action="store_true",
+                   help="flash-style ppermute ring for the global-negative "
+                        "softmax (O(B_local) memory at any global batch)")
     p.add_argument("--gspmd", action="store_true",
                    help="multi-chip via GSPMD (jit + NamedSharding) instead of explicit shard_map collectives")
     p.add_argument(
@@ -497,6 +506,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         data=args.mesh_data, model=args.mesh_model,
         explicit_collectives=not args.gspmd,
         tower_tp=args.tower_tp,
+        ring_negatives=args.ring_negatives,
     )
     return ExperimentConfig(model=model, data=data, train=train_c, mesh=mesh)
 
