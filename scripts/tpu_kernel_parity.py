@@ -321,6 +321,19 @@ def main():
     ok &= st_match == 1.0
     ok &= check("tournament select values", st_v.T, st_rv, 1e-7)
 
+    # hierarchical (chunked) select: NT above the VMEM scratch limit splits
+    # into per-chunk kernels + a survivor merge — must stay bit-exact on
+    # hardware including cross-chunk ties (corpora beyond ~1.5M rows)
+    hc_x = jax.random.normal(jax.random.key(21), (256, 16384))
+    hc_x = jnp.round(hc_x * 8) / 8
+    hc_v, hc_i = jax.jit(lambda x: select_topk_t(x, 100))(hc_x.T)
+    hc_rv, hc_ri = jax.lax.top_k(hc_x, 100)
+    hc_match = float(np.mean(np.asarray(hc_i.T) == np.asarray(hc_ri)))
+    status = "ok" if hc_match == 1.0 else "FAIL"
+    print(f"{status:4s} chunked select indices (NT=16384): match {hc_match:.6f} (want 1.0)")
+    ok &= hc_match == 1.0
+    ok &= check("chunked select values", hc_v.T, hc_rv, 1e-7)
+
     # ---- fused adam -------------------------------------------------------
     import optax
 
