@@ -177,6 +177,45 @@ def test_select_topk_matches_lax(nt, b, k):
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
 
 
+def test_exact_cross_tile_boundary_ties():
+    """A float tie at the k-th boundary spanning two tiles must resolve to
+    the LOWEST global index (dense lax.top_k's rule) even when the
+    higher-index candidate sits in a higher-ranked tile.  Rank-ordered
+    candidate pools used to return the wrong winner here; the pipelines now
+    sort selected tiles ascending before the rescore."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import mips_topk_exact_pallas
+    from two_tower_models_tpu.retrieval.mips import mips_topk_exact_tilemax
+
+    rng = np.random.default_rng(0)
+    c, d, k = 2048, 8, 4
+    corpus = rng.normal(size=(c, d)).astype(np.float32)
+    query = rng.normal(size=(8, d)).astype(np.float32)
+    u = (query[0] / np.linalg.norm(query[0])).astype(np.float32)
+    corpus[1850] = u * 25  # tile 14's max: ranks it first in pass 2
+    corpus[1900] = u * 10  # the tie candidate dense must NOT pick...
+    corpus[300] = u * 10  # ...because this equal-score row has a lower index
+    corpus[50] = u * 22
+    corpus[600] = u * 21
+    cj, qj = jnp.asarray(corpus), jnp.asarray(query)
+    ri, rs, _ = mips_topk(cj, qj, k)
+    assert 300 in np.asarray(ri[0]) and 1900 not in np.asarray(ri[0])
+    pi, ps, _ = mips_topk_exact_pallas(cj, qj, k)
+    ti, ts, _ = mips_topk_exact_tilemax(cj, qj, k, chunk=1024)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+    # quantized-score stress: integer-grid embeddings collide constantly
+    for seed in range(3):
+        r2 = np.random.default_rng(seed)
+        c2 = jnp.asarray(r2.integers(-2, 3, size=(4096, 16)).astype(np.float32))
+        q2 = jnp.asarray(r2.integers(-2, 3, size=(16, 16)).astype(np.float32))
+        di_, _, _ = mips_topk(c2, q2, 10)
+        pi2, _, _ = mips_topk_exact_pallas(c2, q2, 10)
+        ti2, _, _ = mips_topk_exact_tilemax(c2, q2, 10, chunk=1024)
+        np.testing.assert_array_equal(np.asarray(pi2), np.asarray(di_))
+        np.testing.assert_array_equal(np.asarray(ti2), np.asarray(di_))
+
+
 def test_exact_pallas_odd_large_batch():
     """ADVICE r2 (high): B>512 not divisible by 512 (e.g. 520) used to trip
     tile_max_scores' query-block assert on the default exact path."""

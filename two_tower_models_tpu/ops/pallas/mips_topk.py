@@ -419,6 +419,12 @@ def mips_topk_exact_pallas(
         )
     _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
     tile_idx = idx_t[:, :bp].T  # [BP, k]
+    # Sort the selected tiles ascending so the candidate pool is in global
+    # index order: pass 4's lax.top_k breaks float ties by POSITION, and only
+    # with an index-ordered pool does that coincide with dense lax.top_k's
+    # lowest-global-index rule.  Rank-ordered pools returned the wrong
+    # element when equal scores spanned tiles at the k-th boundary.
+    tile_idx = jnp.sort(tile_idx, axis=1)
 
     # lane-align the width for the gather kernel's row DMAs
     dpad = (-d) % 128

@@ -208,9 +208,12 @@ def mips_topk_exact_tilemax(
     extends to ties because both selections are stable (lowest index wins):
     a tile containing a top-k element can only be displaced by tiles that
     each contain a strictly-higher-ranked element, and there are < k of
-    those.  Tie CAVEAT: when equal scores span different tiles, the returned
-    ORDER among tied winners can differ from ``lax.top_k``'s global
-    lowest-index order (the winner set is identical).
+    those; boundary-tie winners survive too, because tiles tied at the
+    threshold max are taken in ascending tile order — the same order dense
+    ``lax.top_k`` prefers their candidates in.  The selected tiles are then
+    SORTED ascending before the rescore so the candidate pool is in global
+    index order, making pass 3's positional tie-break identical to dense
+    ``lax.top_k``'s lowest-index rule — bit-exact including cross-tile ties.
 
     Measured (v5e, C=1M x 64 bf16, B=1024, k=100): see BASELINE.md — this is
     the offline-eval exact path; serving stays on ``mips_topk_approx``.
@@ -249,6 +252,10 @@ def mips_topk_exact_tilemax(
 
         # -- pass 2: top-k tiles ------------------------------------------
         _, tile_idx = jax.lax.top_k(m, k)  # [qb, k]
+        # ascending tile order makes the candidate pool globally
+        # index-ordered, so pass 4's positional tie-break reproduces dense
+        # lax.top_k's lowest-index rule exactly (see exactness note above)
+        tile_idx = jnp.sort(tile_idx, axis=1)
 
         # -- pass 3: rescore candidates -----------------------------------
         corpus_tiles = corpus_p.reshape(n_tiles_pad, tile, di)
