@@ -177,6 +177,24 @@ def test_select_topk_matches_lax(nt, b, k):
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
 
 
+@pytest.mark.parametrize("d,tile", [(64, 128), (32, 128), (16, 64), (100, 128), (128, 128)])
+def test_gather_rescore_packing(d, tile):
+    """gather_rescore matches a dense oracle at every pack factor
+    (P = 128//D packed rows per lane row for narrow corpora, zero-pad for
+    widths that don't divide 128)."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import gather_rescore
+
+    c, b, k = 16 * tile, 16, 5
+    corpus = jax.random.normal(jax.random.key(40), (c, d))
+    query = jax.random.normal(jax.random.key(41), (b, d))
+    tidx = jax.random.randint(jax.random.key(42), (b, k), 0, c // tile)
+    got = gather_rescore(query, corpus, tidx, tile)
+    dense = jnp.einsum("bd,cd->bc", query, corpus)
+    gidx = tidx[:, :, None] * tile + jnp.arange(tile)[None, None, :]
+    want = jnp.take_along_axis(dense, gidx.reshape(b, k * tile), axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5)
+
+
 def test_exact_cross_tile_boundary_ties():
     """A float tie at the k-th boundary spanning two tiles must resolve to
     the LOWEST global index (dense lax.top_k's rule) even when the

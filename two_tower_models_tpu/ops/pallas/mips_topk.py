@@ -18,10 +18,12 @@ once outside (32 MB, one XLA pass).
 ``gather_rescore``: grid over query groups of 8; each sub-query's k selected
 corpus tiles stream in via scalar-prefetched dynamic-offset DMAs (ring of
 in-flight copies, double-buffered across sub-queries), then ONE
-[1, D] x [k*TILE, D]^T contraction scores all candidates — no [B,k,TILE,D]
-tensor ever exists.  DMA'd rows must be 128-lane aligned (Mosaic), so the
-caller passes a corpus whose width is padded to a multiple of 128; the
-zero-padded query columns contribute nothing to the dot.
+[P, 128] x [k*TILE/P, 128]^T contraction scores all candidates — no
+[B,k,TILE,D] tensor ever exists.  DMA'd rows must be 128-lane aligned
+(Mosaic); corpora narrower than a lane row are PACKED P = 128//D rows per
+VMEM row (free row-major reshape) instead of zero-padded, so the tile DMAs
+stream exactly the corpus bytes (unpacked lane padding cost 2x traffic at
+D=64); wider corpora pad to the next 128 multiple as before.
 
 The reference's corresponding surface is the brute-force
 ``torch.topk(query @ corpus.T)`` (baseline_mips_module.py:57-61).
@@ -249,21 +251,21 @@ def select_topk_t(
 
 def _gather_rescore_kernel(
     tidx_ref,  # SMEM [B, k] int32 (scalar prefetch): selected tile per query
-    corpus_ref,  # HBM [C_pad, DP] — lane-aligned corpus rows
-    q_ref,  # VMEM [QG, DP] — this program's queries
-    out_ref,  # VMEM [QG, k*TILE] f32 — candidate scores
-    cand_ref,  # VMEM [2, k*TILE, DP] scratch — gathered tiles (dbl-buffered)
+    corpus_ref,  # HBM [C_pad/P, DP] — P-packed lane-aligned corpus rows
+    q_ref,  # VMEM [QG, P, DP] — parity-masked queries (see gather_rescore)
+    out_ref,  # VMEM [QG, P, k*ROWS] f32 — candidate scores, parity-major
+    cand_ref,  # VMEM [2, k*ROWS, DP] scratch — gathered tiles (dbl-buffered)
     sems,  # DMA semaphores [2, RING]
     *,
     k: int,
-    tile: int,
+    rows: int,  # packed rows per tile = tile // P
 ):
     g = pl.program_id(0)
 
     def dma(i, j):
         return pltpu.make_async_copy(
-            corpus_ref.at[pl.ds(tidx_ref[g * _QG + i, j] * tile, tile), :],
-            cand_ref.at[i % 2, pl.ds(j * tile, tile), :],
+            corpus_ref.at[pl.ds(tidx_ref[g * _QG + i, j] * rows, rows), :],
+            cand_ref.at[i % 2, pl.ds(j * rows, rows), :],
             sems.at[i % 2, j % _RING],
         )
 
@@ -295,50 +297,85 @@ def _gather_rescore_kernel(
 
         jax.lax.fori_loop(0, k, steady, 0)
 
-        out_ref[i : i + 1, :] = jax.lax.dot_general(
-            q_ref[i : i + 1, :], cand_ref[i % 2],
+        out_ref[i] = jax.lax.dot_general(
+            q_ref[i], cand_ref[i % 2],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [1, k*TILE]
+        )  # [P, k*ROWS] — parity p scores the corpus rows packed at lane
+        # offset p*D (q_ref[i, p] is zero outside those lanes)
 
 
 def gather_rescore(
-    query: jnp.ndarray,  # [B, DP] — B % 8 == 0, DP % 128 == 0
-    corpus_p: jnp.ndarray,  # [C_pad, DP] — lane-aligned width
+    query: jnp.ndarray,  # [B, D] — B % 8 == 0 (D arbitrary; padded here)
+    corpus_p: jnp.ndarray,  # [C_pad, D] — C_pad % tile == 0
     tile_idx: jnp.ndarray,  # [B, k] int32
     tile: int,
 ) -> jnp.ndarray:
     """cand_scores[b, j*TILE + c] = <query_b, corpus[tile_idx[b,j]*TILE + c]>.
 
     Returns [B, k*TILE] f32.  Out-of-range (padded-corpus) candidates are the
-    caller's job to mask — they carry real dot products of zero pad rows."""
-    b, dp = query.shape
-    assert b % _QG == 0 and dp % 128 == 0, (b, dp)
+    caller's job to mask — they carry real dot products of zero pad rows.
+
+    Narrow corpora are PACKED P = 128//D rows per 128-lane VMEM row (a free
+    row-major reshape), cutting the tile-DMA traffic by P (at D=64 the
+    unpacked kernel streamed 2x the corpus bytes through lane padding).  Each
+    sub-query then scores all parities in one [P, 128] x [128, k*TILE/P]
+    contraction against parity-masked query copies, and the [B, P, k*TILE/P]
+    output de-interleaves back to ascending candidate order outside."""
+    b, d = query.shape
+    assert b % _QG == 0, b
     # the DMA scratch is allocated in query.dtype and streams corpus rows
     assert corpus_p.dtype == query.dtype, (corpus_p.dtype, query.dtype)
     k = tile_idx.shape[1]
 
-    return pl.pallas_call(
-        functools.partial(_gather_rescore_kernel, k=k, tile=tile),
+    pack = 128 // d if 128 % d == 0 and tile % (128 // d) == 0 else 1
+    if pack > 1:
+        assert corpus_p.shape[0] % pack == 0
+        dp = 128
+        corpus_k = corpus_p.reshape(corpus_p.shape[0] // pack, dp)
+        # q_masked[b, p, p*D:(p+1)*D] = query[b]; zero elsewhere
+        q_masked = (
+            jnp.eye(pack, dtype=query.dtype)[None, :, :, None]
+            * query[:, None, None, :]
+        ).reshape(b, pack, dp)
+    else:
+        dp = d + ((-d) % 128)
+        corpus_k = (
+            jnp.pad(corpus_p, ((0, 0), (0, dp - d))) if dp != d else corpus_p
+        )
+        q_pad = jnp.pad(query, ((0, 0), (0, dp - d))) if dp != d else query
+        q_masked = q_pad[:, None, :]
+    rows = tile // pack
+
+    out = pl.pallas_call(
+        functools.partial(_gather_rescore_kernel, k=k, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b // _QG,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # corpus (HBM)
-                pl.BlockSpec((_QG, dp), lambda g, tidx: (g, 0)),
+                pl.BlockSpec((_QG, pack, dp), lambda g, tidx: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((_QG, k * tile), lambda g, tidx: (g, 0)),
+            out_specs=pl.BlockSpec(
+                (_QG, pack, k * rows), lambda g, tidx: (g, 0, 0)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((2, k * tile, dp), query.dtype),
+                pltpu.VMEM((2, k * rows, dp), query.dtype),
                 pltpu.SemaphoreType.DMA((2, _RING)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, k * tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, pack, k * rows), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(tile_idx.astype(jnp.int32), corpus_p, query)
+    )(tile_idx.astype(jnp.int32), corpus_k, q_masked)
+    if pack == 1:
+        return out.reshape(b, k * tile)
+    # out[b, p, j*ROWS + r] scores corpus row tile*tidx + (r*P + p):
+    # transposing parities under the row axis restores ascending candidate
+    # order (required by the caller's positional tie-break)
+    return jnp.transpose(out, (0, 2, 1)).reshape(b, k * tile)
 
 
 # ---------------------------------------------------------------------------
@@ -426,11 +463,8 @@ def mips_topk_exact_pallas(
     # element when equal scores spanned tiles at the k-th boundary.
     tile_idx = jnp.sort(tile_idx, axis=1)
 
-    # lane-align the width for the gather kernel's row DMAs
-    dpad = (-d) % 128
-    corpus_dp = jnp.pad(corpus_pc, ((0, 0), (0, dpad))) if dpad else corpus_pc
-    query_dp = jnp.pad(query_p, ((0, 0), (0, dpad))) if dpad else query_p
-    cand_scores = gather_rescore(query_dp, corpus_dp, tile_idx, tile)
+    # lane alignment / narrow-corpus packing happens inside gather_rescore
+    cand_scores = gather_rescore(query_p, corpus_pc, tile_idx, tile)
     cand_gidx = (
         tile_idx[:, :, None] * tile + jnp.arange(tile)[None, None, :]
     ).reshape(bp, k * tile)
