@@ -177,6 +177,37 @@ def test_select_topk_matches_lax(nt, b, k):
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
 
 
+@pytest.mark.parametrize("nt,b,k,sup", [(512, 8, 13, 8), (2048, 130, 32, 8), (100, 16, 9, 8)])
+def test_select_topk_pruned_matches_lax(nt, b, k, sup):
+    """Supertile-pruned tournament == lax.top_k bit-exactly, including ties
+    that span supertiles and at the k-th boundary."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import select_topk_t_pruned
+
+    x = jax.random.normal(jax.random.key(50), (b, nt))
+    x = jnp.round(x * 3) / 3  # heavy exact-tie collisions
+    x = x.at[1].set(1.0)  # an all-equal row: pure tie-order test
+    spad = 0 if b <= 128 else (-b) % 128
+    xt = jnp.pad(x.T, ((0, (-nt) % 8), (0, spad)), constant_values=float("-inf"))
+    val_t, idx_t = select_topk_t_pruned(xt, k, sup=sup)
+    rs, ri = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(np.asarray(idx_t[:, :b].T), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
+
+
+def test_select_topk_pruned_few_finite_supertiles():
+    """k can exceed the number of FINITE supertiles (masked corpus padding
+    leaves whole supertiles at -inf) as long as finite rows >= k; the -inf
+    mask collision used to re-pick supertile 0 and duplicate its rows."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import select_topk_t_pruned
+
+    x = jax.random.normal(jax.random.key(51), (24, 96))
+    x = x.at[:, 79:].set(float("-inf"))  # 79 finite rows, 10 finite supers
+    val_t, idx_t = select_topk_t_pruned(x.T, 11, sup=8)
+    rs, ri = jax.lax.top_k(x, 11)
+    np.testing.assert_array_equal(np.asarray(idx_t.T), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(val_t.T), np.asarray(rs))
+
+
 @pytest.mark.parametrize("d,tile", [(64, 128), (32, 128), (16, 64), (100, 128), (128, 128)])
 def test_gather_rescore_packing(d, tile):
     """gather_rescore matches a dense oracle at every pack factor

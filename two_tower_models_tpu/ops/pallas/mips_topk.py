@@ -162,6 +162,10 @@ def _select_topk_kernel(x_hbm, idx_ref, val_ref, xs, sem, *, k: int, qb: int):
 # row chunks and merges (hierarchical select, bit-exact — see below).
 _SELECT_MAX_ROWS = 12288
 
+# Below this candidate-pool width, XLA's lax.top_k is cheap enough that the
+# kernelized pass-4 selection isn't worth its fixed costs.
+_PASS4_MIN_POOL = 4096
+
 
 def select_topk_t(
     scores_t: jnp.ndarray,  # [NT, B] f32 — TRANSPOSED scores (column/query)
@@ -242,6 +246,61 @@ def select_topk_t(
         interpret=_interpret(),
     )(scores_t)
     return val, idx
+
+
+def select_topk_t_pruned(
+    scores_t: jnp.ndarray,  # [NT, B] f32 — transposed scores
+    k: int,
+    sup: int = 8,
+    query_block: int = 128,
+):
+    """select_topk_t with supertile-max pruning — same contract, bit-exact.
+
+    The flat tournament costs k full passes over [NT, B].  This applies the
+    tile-max theorem one level up: group rows into supertiles of ``sup``,
+    take the per-supertile max (one pass), select the top-k SUPERTILES (k
+    passes over NT/sup rows), then select within the gathered k*sup
+    surviving rows.  At most k supertiles can have max >= the k-th row
+    value (each must contain a strictly-higher row, of which there are
+    < k), and supertiles tied at the threshold are taken in ascending index
+    order — the order containing the lowest-index tied rows — so the
+    survivor set always contains the exact top-k.  Survivor rows are
+    gathered in ascending row order, so the final positional tie-break
+    equals the flat kernel's lowest-index rule.  Row-pass cost drops from
+    k*NT to NT + k*(NT/sup + k*sup).
+    """
+    nt, b = scores_t.shape
+    if k * sup >= nt or nt < 4 * sup:
+        return select_topk_t(scores_t, k, query_block)
+    ntp = nt + ((-nt) % sup)
+    sp = scores_t
+    if ntp != nt:
+        sp = jnp.pad(sp, ((0, ntp - nt), (0, 0)), constant_values=_NEG_INF)
+    sm = jnp.max(sp.reshape(ntp // sup, sup, b), axis=1)  # [NS, B]
+    # An all--inf supertile (masked corpus padding) collides with the
+    # kernel's -inf mask value: once a column's finite supers are exhausted
+    # the argmax re-picks row 0 every round, duplicating its rows in the
+    # survivor list.  A finite floor keeps empty supers distinct (picked in
+    # ascending index order, like the kernel's tie rule) while staying far
+    # below any real score.
+    sm = jnp.where(jnp.isneginf(sm), jnp.float32(-3e38), sm)
+    if sm.shape[0] % 8:
+        sm = jnp.pad(
+            sm, ((0, (-sm.shape[0]) % 8), (0, 0)), constant_values=_NEG_INF
+        )
+    _, sidx = select_topk_t(sm, k, query_block)  # [k, B] supertile ids
+    sidx = jnp.sort(sidx, axis=0)
+    rows = (
+        sidx[:, None, :] * sup + jnp.arange(sup)[None, :, None]
+    ).reshape(k * sup, b)  # ascending row ids per column
+    g_t = jnp.take_along_axis(sp, rows, axis=0)  # [k*sup, B]
+    if g_t.shape[0] % 8:
+        g_t = jnp.pad(
+            g_t, ((0, (-g_t.shape[0]) % 8), (0, 0)), constant_values=_NEG_INF
+        )
+        rows = jnp.pad(rows, ((0, g_t.shape[0] - rows.shape[0]), (0, 0)))
+    vals, pos = select_topk_t(g_t, k, query_block)
+    return vals, jnp.take_along_axis(rows, pos, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +513,7 @@ def mips_topk_exact_pallas(
         m_t = jnp.pad(
             m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
         )
-    _, idx_t = select_topk_t(m_t, k)  # [k, BP(+pad)]
+    _, idx_t = select_topk_t_pruned(m_t, k)  # [k, BP(+pad)]
     tile_idx = idx_t[:, :bp].T  # [BP, k]
     # Sort the selected tiles ascending so the candidate pool is in global
     # index order: pass 4's lax.top_k breaks float ties by POSITION, and only
@@ -470,7 +529,24 @@ def mips_topk_exact_pallas(
     ).reshape(bp, k * tile)
     cand_scores = jnp.where(cand_gidx < jnp.asarray(valid), cand_scores, _NEG_INF)
 
-    top_scores, sel = jax.lax.top_k(cand_scores, k)
+    pool = cand_scores.shape[1]
+    if pool >= _PASS4_MIN_POOL:
+        # pass 4 through the pruned tournament: lax.top_k over the [B, k*TILE]
+        # candidates was ~3.2 ms of the pipeline at 1M x 64 (BASELINE.md); the
+        # supertile-pruned select reads k*TILE + k*(k*TILE/8 + 8k) rows
+        # instead of XLA's slow wide selection.  Tie rule is preserved: the
+        # pool is in ascending global-index order (tiles sorted above).
+        ct = cand_scores.T  # [pool, BP]
+        cpad = 0 if bp <= 128 else (-bp) % 128
+        if cpad or pool % 8:
+            ct = jnp.pad(
+                ct, ((0, (-pool) % 8), (0, cpad)), constant_values=_NEG_INF
+            )
+        vals_t, pos_t = select_topk_t_pruned(ct, k)
+        top_scores = vals_t[:, :bp].T
+        sel = pos_t[:, :bp].T
+    else:
+        top_scores, sel = jax.lax.top_k(cand_scores, k)
     top_idx = jnp.take_along_axis(cand_gidx, sel, axis=1)
     if qpad:
         top_scores, top_idx = top_scores[:b], top_idx[:b]
