@@ -166,6 +166,10 @@ _SELECT_MAX_ROWS = 12288
 # kernelized pass-4 selection isn't worth its fixed costs.
 _PASS4_MIN_POOL = 4096
 
+# A/B switch for narrow-corpus row packing in gather_rescore
+# (scripts/exp_exact_pipeline.py sweeps it; leave True in production).
+_PACK = True
+
 
 def select_topk_t(
     scores_t: jnp.ndarray,  # [NT, B] f32 — TRANSPOSED scores (column/query)
@@ -387,7 +391,7 @@ def gather_rescore(
     assert corpus_p.dtype == query.dtype, (corpus_p.dtype, query.dtype)
     k = tile_idx.shape[1]
 
-    pack = 128 // d if 128 % d == 0 and tile % (128 // d) == 0 else 1
+    pack = 128 // d if _PACK and 128 % d == 0 and tile % (128 // d) == 0 else 1
     if pack > 1:
         assert corpus_p.shape[0] % pack == 0
         dp = 128
