@@ -334,6 +334,61 @@ def main():
     ok &= hc_match == 1.0
     ok &= check("chunked select values", hc_v.T, hc_rv, 1e-7)
 
+    # ---- r3 exact-path additions -----------------------------------------
+    # supertile-pruned select: ties + fewer finite supertiles than k
+    from two_tower_models_tpu.ops.pallas.mips_topk import select_topk_t_pruned
+
+    pr_x = jax.random.normal(jax.random.key(23), (256, 2048))
+    pr_x = jnp.round(pr_x * 4) / 4
+    pr_x = pr_x.at[:, 100:].set(float("-inf"))  # 100 finite rows, 13 supers
+    pr_v, pr_i = jax.jit(lambda x: select_topk_t_pruned(x, 64))(pr_x.T)
+    pr_rv, pr_ri = jax.lax.top_k(pr_x, 64)
+    pr_match = float(np.mean(np.asarray(pr_i.T) == np.asarray(pr_ri)))
+    status = "ok" if pr_match == 1.0 else "FAIL"
+    print(f"{status:4s} pruned select indices (ties, sparse supers): match {pr_match:.6f}")
+    ok &= pr_match == 1.0
+    ok &= check("pruned select values", pr_v.T, pr_rv, 1e-7)
+
+    # packed gather_rescore vs dense oracle at several widths
+    from two_tower_models_tpu.ops.pallas.mips_topk import gather_rescore
+
+    for gd, gt in [(64, 128), (32, 128), (100, 128)]:
+        gc = 64 * gt
+        g_corpus = jax.random.normal(jax.random.key(24), (gc, gd), jnp.bfloat16)
+        g_query = jax.random.normal(jax.random.key(25), (64, gd), jnp.bfloat16)
+        g_tidx = jax.random.randint(jax.random.key(26), (64, 9), 0, gc // gt)
+        got = jax.jit(lambda q, c, t: gather_rescore(q, c, t, gt))(
+            g_query, g_corpus, g_tidx
+        )
+        dense = jnp.einsum(
+            "bd,cd->bc", g_query, g_corpus, preferred_element_type=jnp.float32
+        )
+        gidx = (g_tidx[:, :, None] * gt + jnp.arange(gt)[None, None, :]).reshape(64, -1)
+        want = jnp.take_along_axis(dense, gidx, axis=1)
+        ok &= check(f"gather_rescore d={gd} (pack={max(1, 128 // gd if 128 % gd == 0 else 1)})", got, want, 1e-5)
+
+    # engineered cross-tile boundary tie: the k-th slot tie must resolve to
+    # the LOWEST global index even when the tied candidate sits in a
+    # higher-ranked tile (the r3 tie-order fix, on hardware)
+    bt_c = np.asarray(
+        jax.random.normal(jax.random.key(27), (2048, 128), jnp.float32)
+    ).copy()
+    bt_q = np.asarray(jax.random.normal(jax.random.key(28), (8, 128), jnp.float32))
+    u = bt_q[0] / np.linalg.norm(bt_q[0])
+    bt_c[1850] = u * 25
+    bt_c[1900] = u * 10
+    bt_c[300] = u * 10
+    bt_c[50] = u * 22
+    bt_c[600] = u * 21
+    bt_cj, bt_qj = jnp.asarray(bt_c), jnp.asarray(bt_q)
+    bt_i, _, _ = jax.jit(lambda c, q: mips_topk_exact_pallas(c, q, 4))(bt_cj, bt_qj)
+    bt_ri, _, _ = jax.jit(lambda c, q: mips_topk(c, q, 4))(bt_cj, bt_qj)
+    bt_match = bool((np.asarray(bt_i) == np.asarray(bt_ri)).all())
+    has_300 = 300 in np.asarray(bt_ri[0])
+    status = "ok" if bt_match and has_300 else "FAIL"
+    print(f"{status:4s} cross-tile boundary tie: lowest-index winner on hardware")
+    ok &= bt_match and has_300
+
     # ---- fused adam -------------------------------------------------------
     import optax
 

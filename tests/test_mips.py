@@ -194,6 +194,30 @@ def test_select_topk_pruned_matches_lax(nt, b, k, sup):
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
 
 
+def test_select_topk_signed_zero_total_order():
+    """lax.top_k's sort comparator is a TOTAL order: every +0.0 ranks above
+    every -0.0 (not index-interleaved).  The tournament kernels select on a
+    monotone int32 key to reproduce that; a float `x == m` compare treated
+    the zeros as equal and interleaved them by index."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import (
+        select_topk_t,
+        select_topk_t_pruned,
+    )
+
+    x = jax.random.normal(jax.random.key(52), (16, 256))
+    x = jnp.round(x * 2) / 2  # quantization yields both -0.0 and +0.0
+    assert bool(jnp.any((x == 0) & jnp.signbit(x))) and bool(
+        jnp.any((x == 0) & ~jnp.signbit(x))
+    )
+    rs, ri = jax.lax.top_k(x, 200)  # deep enough to cross the zero band
+    v1, i1 = select_topk_t(x.T, 200)
+    np.testing.assert_array_equal(np.asarray(i1.T), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(v1.T), np.asarray(rs))
+    assert bool(jnp.any(jnp.signbit(v1[v1 == 0])))  # -0.0 survives round-trip
+    v2, i2 = select_topk_t_pruned(x.T, 30, sup=8)
+    np.testing.assert_array_equal(np.asarray(i2.T), np.asarray(ri[:, :30]))
+
+
 def test_select_topk_pruned_few_finite_supertiles():
     """k can exceed the number of FINITE supertiles (masked corpus padding
     leaves whole supertiles at -inf) as long as finite rows >= k; the -inf

@@ -128,13 +128,33 @@ def tile_max_scores(
 # (vector max -> lowest-index argmax -> mask) over a sublane-transposed
 # [NT, QB] block that never leaves VMEM: each round is a handful of
 # elementwise/reduce passes, fully vectorized across the 128 query lanes.
-# Tie behavior matches lax.top_k exactly (lowest index first — the argmax
-# takes min over iota at the max value), so the pipeline stays bit-exact.
-# Selection order IS descending score order, like lax.top_k.
+#
+# Selection runs on a monotone INT32 KEY of the f32 scores (see _f32_keys)
+# so the order is lax.top_k's TOTAL order — including -0.0 < +0.0 (a plain
+# `x == m` float compare treats them equal and returns the wrong winner on
+# zero-score ties; XLA's sort comparator does not) and NaN above +inf — and
+# the mask value INT32_MIN sits strictly below every real key (float -inf
+# maps above it), so an exhausted column keeps picking distinct ascending
+# indices instead of re-picking row 0.  Tie behavior matches lax.top_k
+# exactly (lowest index first); selection order IS descending score order.
+
+_INT_MIN = -(1 << 31)
+
+
+def _f32_keys(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone int32 key of f32: float total order (signed zeros, infs,
+    NaN-above-inf) becomes int32 order.  Invertible via _keys_f32."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return jnp.where(b < 0, (~b) + jnp.int32(_INT_MIN), b)
+
+
+def _keys_f32(k: jnp.ndarray) -> jnp.ndarray:
+    b = jnp.where(k < 0, ~(k + jnp.int32(_INT_MIN)), k)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
 
 
 def _select_topk_kernel(x_hbm, idx_ref, val_ref, xs, sem, *, k: int, qb: int):
-    # one DMA brings this program's [NT, QB] score block into the scratch;
+    # one DMA brings this program's [NT, QB] key block into the scratch;
     # the k extraction rounds then mutate it in place (a blocked input +
     # fori carry held TWO copies plus double-buffering and blew the 16 MB
     # scoped-VMEM limit at NT=7824 on v5e — measured)
@@ -151,7 +171,7 @@ def _select_topk_kernel(x_hbm, idx_ref, val_ref, xs, sem, *, k: int, qb: int):
         i = jnp.min(jnp.where(x == m, iota, nt), axis=0, keepdims=True)
         idx_ref[pl.ds(j, 1), :] = i
         val_ref[pl.ds(j, 1), :] = m
-        xs[...] = jnp.where(iota == i, _NEG_INF, x)
+        xs[...] = jnp.where(iota == i, jnp.int32(_INT_MIN), x)
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
@@ -171,46 +191,42 @@ _PASS4_MIN_POOL = 4096
 _PACK = True
 
 
-def select_topk_t(
-    scores_t: jnp.ndarray,  # [NT, B] f32 — TRANSPOSED scores (column/query)
-    k: int,
-    query_block: int = 128,
-):
-    """(values [k, B], indices [k, B]) of the per-column top-k, descending,
-    ties broken by lowest index — bit-identical to lax.top_k on scores_t.T.
-    Rows beyond a multiple of 8 are padded with -inf by the caller.
+def _select_keys_t(keys_t: jnp.ndarray, k: int, query_block: int = 128):
+    """Key-space core of select_topk_t: (key values [k, B], indices [k, B])
+    of the per-column top-k over int32 keys, descending, ties by lowest
+    index.
 
     Inputs taller than the kernel's VMEM scratch limit run HIERARCHICALLY:
     per-chunk top-k, then a final select over the k*n_chunks survivors.
     Bit-exactness survives the split: each chunk's survivor list is ordered
-    (value desc, global index asc), chunks are concatenated in ascending
+    (key desc, global index asc), chunks are concatenated in ascending
     index order, so "lowest position in the concatenated list" — the final
     round's tie rule — coincides with "lowest global index" for equal
-    values.  (Degenerate caveat: if a column holds fewer than k finite
-    entries, -inf picks may point at intra-chunk pad rows; callers
-    guarantee k <= finite rows, as the mips pipeline does.)"""
-    nt, b = scores_t.shape
+    keys.  Pad rows carry INT32_MIN, which sorts strictly below every real
+    key (even float -inf), so pads are only ever picked once every real row
+    of a column is exhausted."""
+    nt, b = keys_t.shape
     if nt > _SELECT_MAX_ROWS:
         ch = _SELECT_MAX_ROWS
         n_chunks = -(-nt // ch)
         if n_chunks * k >= nt:
             # The survivor list wouldn't shrink (k within a hair of the
-            # chunk size) — chunking can't converge; lax.top_k IS the
-            # semantics reference, so it's trivially bit-exact.
-            v, i = jax.lax.top_k(scores_t.T, k)
+            # chunk size) — chunking can't converge; lax.top_k over the
+            # keys has identical (value, position) semantics.
+            v, i = jax.lax.top_k(keys_t.T, k)
             return v.T, i.T
         vals, idxs = [], []
         for c in range(n_chunks):
-            part = scores_t[c * ch : (c + 1) * ch]
+            part = keys_t[c * ch : (c + 1) * ch]
             if part.shape[0] % 8:
                 part = jnp.pad(
                     part, ((0, (-part.shape[0]) % 8), (0, 0)),
-                    constant_values=_NEG_INF,
+                    constant_values=_INT_MIN,
                 )
             kk = min(k, part.shape[0])
-            v, i = select_topk_t(part, kk, query_block)
+            v, i = _select_keys_t(part, kk, query_block)
             if kk < k:  # short tail chunk: pad its survivor list
-                v = jnp.pad(v, ((0, k - kk), (0, 0)), constant_values=_NEG_INF)
+                v = jnp.pad(v, ((0, k - kk), (0, 0)), constant_values=_INT_MIN)
                 i = jnp.pad(i, ((0, k - kk), (0, 0)))
             vals.append(v)
             idxs.append(i + c * ch)
@@ -219,10 +235,10 @@ def select_topk_t(
         if cat_v.shape[0] % 8:
             cat_v = jnp.pad(
                 cat_v, ((0, (-cat_v.shape[0]) % 8), (0, 0)),
-                constant_values=_NEG_INF,
+                constant_values=_INT_MIN,
             )
             cat_i = jnp.pad(cat_i, ((0, cat_v.shape[0] - cat_i.shape[0]), (0, 0)))
-        fv, fp = select_topk_t(cat_v, k, query_block)  # positions into cat
+        fv, fp = _select_keys_t(cat_v, k, query_block)  # positions into cat
         fi = jnp.take_along_axis(cat_i, fp, axis=0)
         return fv, fi
     qb = b if b <= query_block else query_block
@@ -238,18 +254,33 @@ def select_topk_t(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k, b), jnp.int32),
-            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nt, qb), jnp.float32),
+            pltpu.VMEM((nt, qb), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(scores_t)
+    )(keys_t)
     return val, idx
+
+
+def select_topk_t(
+    scores_t: jnp.ndarray,  # [NT, B] f32 — TRANSPOSED scores (column/query)
+    k: int,
+    query_block: int = 128,
+):
+    """(values [k, B], indices [k, B]) of the per-column top-k, descending,
+    in lax.top_k's TOTAL order (ties by lowest index; -0.0 after +0.0; NaN
+    above +inf) — bit-identical to lax.top_k on scores_t.T.  Rows beyond a
+    multiple of 8 are padded with -inf by the caller.  Selection runs on a
+    monotone int32 key (one elementwise pass); see _select_keys_t for the
+    tall-input hierarchy."""
+    val_k, idx = _select_keys_t(_f32_keys(scores_t), k, query_block)
+    return _keys_f32(val_k), idx
 
 
 def select_topk_t_pruned(
@@ -274,37 +305,38 @@ def select_topk_t_pruned(
     k*NT to NT + k*(NT/sup + k*sup).
     """
     nt, b = scores_t.shape
+    keys = _f32_keys(scores_t)
     if k * sup >= nt or nt < 4 * sup:
-        return select_topk_t(scores_t, k, query_block)
+        val_k, idx = _select_keys_t(keys, k, query_block)
+        return _keys_f32(val_k), idx
     ntp = nt + ((-nt) % sup)
-    sp = scores_t
+    kp = keys
     if ntp != nt:
-        sp = jnp.pad(sp, ((0, ntp - nt), (0, 0)), constant_values=_NEG_INF)
-    sm = jnp.max(sp.reshape(ntp // sup, sup, b), axis=1)  # [NS, B]
-    # An all--inf supertile (masked corpus padding) collides with the
-    # kernel's -inf mask value: once a column's finite supers are exhausted
-    # the argmax re-picks row 0 every round, duplicating its rows in the
-    # survivor list.  A finite floor keeps empty supers distinct (picked in
-    # ascending index order, like the kernel's tie rule) while staying far
-    # below any real score.
-    sm = jnp.where(jnp.isneginf(sm), jnp.float32(-3e38), sm)
+        kp = jnp.pad(kp, ((0, ntp - nt), (0, 0)), constant_values=_INT_MIN)
+    sm = jnp.max(kp.reshape(ntp // sup, sup, b), axis=1)  # [NS, B]
+    # Note on degenerate columns: an all--inf supertile's key max is
+    # key(-inf), which sits strictly ABOVE the kernel's INT32_MIN mask, so
+    # once a column's finite supers are exhausted the remaining picks walk
+    # empty supers in ascending index order — never re-picking one (the
+    # -inf/-inf mask collision of the float-domain kernel duplicated
+    # winners here).
     if sm.shape[0] % 8:
         sm = jnp.pad(
-            sm, ((0, (-sm.shape[0]) % 8), (0, 0)), constant_values=_NEG_INF
+            sm, ((0, (-sm.shape[0]) % 8), (0, 0)), constant_values=_INT_MIN
         )
-    _, sidx = select_topk_t(sm, k, query_block)  # [k, B] supertile ids
+    _, sidx = _select_keys_t(sm, k, query_block)  # [k, B] supertile ids
     sidx = jnp.sort(sidx, axis=0)
     rows = (
         sidx[:, None, :] * sup + jnp.arange(sup)[None, :, None]
     ).reshape(k * sup, b)  # ascending row ids per column
-    g_t = jnp.take_along_axis(sp, rows, axis=0)  # [k*sup, B]
+    g_t = jnp.take_along_axis(kp, rows, axis=0)  # [k*sup, B]
     if g_t.shape[0] % 8:
         g_t = jnp.pad(
-            g_t, ((0, (-g_t.shape[0]) % 8), (0, 0)), constant_values=_NEG_INF
+            g_t, ((0, (-g_t.shape[0]) % 8), (0, 0)), constant_values=_INT_MIN
         )
         rows = jnp.pad(rows, ((0, g_t.shape[0] - rows.shape[0]), (0, 0)))
-    vals, pos = select_topk_t(g_t, k, query_block)
-    return vals, jnp.take_along_axis(rows, pos, axis=0)
+    vals_k, pos = _select_keys_t(g_t, k, query_block)
+    return _keys_f32(vals_k), jnp.take_along_axis(rows, pos, axis=0)
 
 
 # ---------------------------------------------------------------------------
