@@ -389,6 +389,28 @@ def main():
     print(f"{status:4s} cross-tile boundary tie: lowest-index winner on hardware")
     ok &= bt_match and has_300
 
+    # zero-score band at the k-th boundary through the FULL pipeline: 8 tied
+    # zero rows across distinct tiles, boundary inside the band — positional
+    # tie-breaks must walk ascending global indices.  (A dot's +0.0
+    # accumulator absorbs -0.0 products, so pipeline scores can't go
+    # signed-zero; the -0.0 total-order case is covered on the select kernel
+    # directly above.)
+    z_q = np.asarray(jax.random.normal(jax.random.key(29), (8, 128), jnp.float32))
+    z_c = np.tile(-(z_q[0] / np.linalg.norm(z_q[0])) * 30, (2048, 1)).astype(np.float32)
+    for i, r in enumerate((10, 700, 1400)):
+        z_c[r] = z_q[0] / np.linalg.norm(z_q[0]) * (3 - i)
+    for r in (100, 200, 300, 400, 500, 600, 900, 1200):  # zero scores, 8 tiles
+        z_c[r] = 0.0
+    z_cj, z_qj = jnp.asarray(z_c), jnp.asarray(z_q)
+    z_i, z_s, _ = jax.jit(lambda c, q: mips_topk_exact_pallas(c, q, 8))(z_cj, z_qj)
+    z_ri, z_rs, _ = jax.jit(lambda c, q: mips_topk(c, q, 8))(z_cj, z_qj)
+    z_match = bool((np.asarray(z_i) == np.asarray(z_ri)).all())
+    z_order = list(np.asarray(z_ri[0])) == [10, 700, 1400, 100, 200, 300, 400, 500]
+    status = "ok" if z_match and z_order else "FAIL"
+    print(f"{status:4s} zero-score boundary band: ascending-index ties on hardware")
+    ok &= z_match and z_order
+    ok &= check("zero-band scores", z_s, z_rs, 1e-6)
+
     # ---- fused adam -------------------------------------------------------
     import optax
 
