@@ -201,6 +201,16 @@ class ModelConfig:
         if self.history_encoder is not None:
             if self.item_id_embedding_dim % self.history_encoder.num_heads != 0:
                 raise ValueError("item_id_embedding_dim must divide evenly by num_heads")
+        if (
+            self.light_ranker is not None
+            and self.light_ranker.num_mips_items < self.num_items
+        ):
+            raise ValueError(
+                f"light_ranker.num_mips_items ({self.light_ranker.num_mips_items}) "
+                f"must be >= num_items ({self.num_items}): the two-stage path "
+                "retrieves NI candidates then reranks DOWN to num_items "
+                "(two_tower_plus_light_ranker.py:194-208)"
+            )
         return self
 
 
