@@ -194,6 +194,33 @@ def test_select_topk_pruned_matches_lax(nt, b, k, sup):
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
 
 
+def test_f32_key_map_properties():
+    """The int32 key map used by the tournament kernels is strictly
+    monotone in lax.top_k's total order and exactly invertible."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import _f32_keys, _keys_f32
+
+    specials = jnp.asarray(
+        [float("-inf"), -1e38, -1.0, -1e-45, -0.0, 0.0, 1e-45, 1.0, 1e38, float("inf")],
+        jnp.float32,
+    )
+    randoms = jax.random.normal(jax.random.key(53), (4096,)) * 1e3
+    x = jnp.concatenate([specials, randoms])
+    k = _f32_keys(x)
+    # exact round-trip including -0.0's sign bit
+    back = _keys_f32(k)
+    np.testing.assert_array_equal(
+        np.asarray(back).view(np.int32), np.asarray(x).view(np.int32)
+    )
+    # monotone: sorting by key == XLA's total-order sort of the floats
+    order_k = np.argsort(np.asarray(k), kind="stable")
+    xs = np.asarray(x)[order_k]
+    assert (np.diff(np.asarray(k)[order_k]) >= 0).all()
+    lax_sorted = np.asarray(jax.lax.sort(x))
+    np.testing.assert_array_equal(
+        xs.view(np.int32), lax_sorted.view(np.int32)
+    )
+
+
 def test_select_topk_signed_zero_total_order():
     """lax.top_k's sort comparator is a TOTAL order: every +0.0 ranks above
     every -0.0 (not index-interleaved).  The tournament kernels select on a
