@@ -46,9 +46,11 @@ class RetrievalEngine:
         valid_count: int | None = None,
         tower_tp: bool = False,
     ):
-        self._params = params
+        # (params, corpus) live in ONE reference so refresh() can swap them
+        # atomically under the GIL — a query racing a refresh must never see
+        # new user embeddings scored against an old-space corpus
+        self._state = (params, corpus)
         self._cfg = cfg
-        self._corpus = corpus
         self._mesh = mesh
         self._tower_tp = tower_tp
         self._valid_count = int(
@@ -105,7 +107,7 @@ class RetrievalEngine:
 
     @property
     def corpus(self) -> jnp.ndarray:
-        return self._corpus
+        return self._state[1]
 
     def query(
         self,
@@ -119,8 +121,9 @@ class RetrievalEngine:
         ``history_len`` marks per-example real history lengths (positions
         beyond it are padding, masked in the encoder exactly as in
         training); None means all H positions are real."""
+        params, corpus = self._state  # one atomic read of the matched pair
         return self._query(
-            self._params, self._corpus, user_id, user_features, user_history,
+            params, corpus, user_id, user_features, user_history,
             history_len,
         )
 
@@ -165,9 +168,11 @@ class RetrievalEngine:
         """Swap in newly trained params + rebuilt corpus (e.g. after an
         online-training publish).  The jitted query re-runs without
         recompilation — shapes are unchanged.  The corpus is rebuilt BEFORE
-        either reference swaps: a query racing the refresh sees either the
-        fully-old or fully-new (params, corpus) pair, never new user
-        embeddings scored against an old-space corpus."""
+        the single (params, corpus) reference swaps, so a query racing the
+        refresh sees either the fully-old or fully-new pair, never new user
+        embeddings scored against an old-space corpus.  (The pair lives in
+        one tuple: two separate attribute assignments would let a reader
+        between them observe the skewed combination.)"""
         if self._mesh is not None:
             from two_tower_models_tpu.parallel.retrieval import (
                 make_sharded_refresh_fn,
@@ -189,5 +194,4 @@ class RetrievalEngine:
                 params, self._cfg, catalog_ids, catalog_features,
                 batch_size=embed_batch_size,
             )
-        self._params = params
-        self._corpus = corpus
+        self._state = (params, corpus)
