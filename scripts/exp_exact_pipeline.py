@@ -123,6 +123,11 @@ def main():
         elif v == "tile256_nopack":
             tile = 256
             M._PACK = False
+        elif v == "tile256_ring16":
+            tile = 256
+            M._RING = 16
+        elif v == "tile512":
+            tile = 512
         elif v == "ring16":
             M._RING = 16
         elif v == "ring32":
