@@ -80,6 +80,8 @@ def main():
         default="default,flat_select,xla_pass4,nopack,tile256,tile256_nopack,ring16,ring32",
     )
     p.add_argument("--passes", action="store_true", help="per-pass decomposition")
+    p.add_argument("--pass1_sweep", action="store_true",
+                   help="chunk/query_block sweep for the tile-max pass")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--verify", action="store_true", help="bit-exactness vs lax.top_k")
     p.add_argument("--cpu_small", action="store_true",
@@ -149,6 +151,30 @@ def main():
         )(corpus, query)
         match = float(jnp.mean((ti == ri).astype(jnp.float32)))
         emit("verify", 0.0, f"index match {match:.6f} (want 1.0)")
+
+    if args.pass1_sweep:
+        # pass 1 is VPU-bound on the tile-max reduce, not HBM (BASELINE r3
+        # analysis); chunk trades grid steps against VMEM score-block size,
+        # query_block trades MXU N-dim against relayout pressure.
+        tile = 128
+        seen = set()
+        for chunk in (1024, 2048, 4096, 8192):
+            pad = -(-C // chunk) * chunk - C
+            cp = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+            for qb in (256, 512, 1024):
+                if (B % qb and qb < B) or f"c{chunk}_qb{min(qb, B)}" in seen:
+                    continue
+                seen.add(f"c{chunk}_qb{min(qb, B)}")
+                emit(
+                    f"pass1_c{chunk}_qb{min(qb, B)}",
+                    timed(
+                        lambda q, cp=cp, chunk=chunk, qb=qb: M.tile_max_scores(
+                            q, cp, tile, C, chunk=chunk,
+                            query_block=min(qb, B), transposed=True,
+                        ),
+                        query, args.steps,
+                    ),
+                )
 
     if args.passes:
         # pass decomposition at tile=128 defaults
