@@ -11,8 +11,8 @@ python scripts/tpu_kernel_parity.py 2>&1 | tee /tmp/r3_parity.log
 echo "== 2/6 exact-pipeline ablation (pack / tile / ring / selects)"
 python scripts/exp_exact_pipeline.py --verify 2>&1 | tee /tmp/r3_exact.log
 
-echo "== 3/6 exact-pipeline pass decomposition"
-python scripts/exp_exact_pipeline.py --variants default --passes 2>&1 | tee /tmp/r3_passes.log
+echo "== 3/6 exact-pipeline pass decomposition + pass-1 sweep"
+python scripts/exp_exact_pipeline.py --variants default --passes --pass1_sweep 2>&1 | tee /tmp/r3_passes.log
 
 echo "== 4/6 bench-scale scatter experiment (65k tables, packed+kernel)"
 python scripts/exp_scatter65k.py 2>&1 | tee /tmp/r3_scatter.log
