@@ -450,3 +450,42 @@ def test_select_topk_chunked_matches_lax(monkeypatch, nt, b, k):
     rs, ri = jax.lax.top_k(x, k)
     np.testing.assert_array_equal(np.asarray(idx_t[:, :b].T), np.asarray(ri))
     np.testing.assert_array_equal(np.asarray(val_t[:, :b].T), np.asarray(rs))
+
+
+def test_select_topk_full_payload_negative_nan():
+    """The one f32 value whose key is INT32_MIN (full-payload negative NaN,
+    bits 0xFFFFFFFF) used to collide with the kernel's mask sentinel:
+    masking the picked element left it unchanged and the same index was
+    re-picked k times.  Keys are now clamped to INT32_MIN + 1 at entry, so
+    picks stay distinct; values come back as (possibly payload-shifted)
+    negative NaNs."""
+    from two_tower_models_tpu.ops.pallas.mips_topk import (
+        select_topk_t,
+        select_topk_t_pruned,
+    )
+
+    k = 12
+    x = np.asarray(
+        jax.random.normal(jax.random.key(54), (8, 64)), np.float32
+    ).copy()
+    x[:, 40:] = np.float32(np.uint32(0xFFFFFFFF).view(np.float32))  # -NaNs
+    xj = jnp.asarray(x)
+    for fn in (select_topk_t, lambda s, kk: select_topk_t_pruned(s, kk, sup=8)):
+        val_t, idx_t = fn(xj.T, k)
+        idx = np.asarray(idx_t.T)
+        # distinct picks per row — the collision duplicated one index
+        assert all(len(set(r.tolist())) == k for r in idx)
+        # NaNs sort below every finite value: none selected while finite
+        # candidates remain (40 finite rows > k)
+        vals = np.asarray(val_t.T)
+        assert np.isfinite(vals).all()
+        rs, ri = jax.lax.top_k(xj, k)
+        np.testing.assert_array_equal(idx, np.asarray(ri))
+        np.testing.assert_array_equal(vals, np.asarray(rs))
+    # all-NaN rows: every pick still distinct, every value still a -NaN
+    allnan = jnp.asarray(np.full((8, 24), x[0, 40], np.float32))
+    v, i = select_topk_t(allnan.T, 5)
+    idx = np.asarray(i.T)
+    assert all(len(set(r.tolist())) == 5 for r in idx)
+    v = np.asarray(v.T)
+    assert np.isnan(v).all() and (v.view(np.uint32) >> 31 == 1).all()

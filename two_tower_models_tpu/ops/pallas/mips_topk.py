@@ -278,8 +278,17 @@ def select_topk_t(
     above +inf) — bit-identical to lax.top_k on scores_t.T.  Rows beyond a
     multiple of 8 are padded with -inf by the caller.  Selection runs on a
     monotone int32 key (one elementwise pass); see _select_keys_t for the
-    tall-input hierarchy."""
-    val_k, idx = _select_keys_t(_f32_keys(scores_t), k, query_block)
+    tall-input hierarchy.
+
+    One departure from the raw key map: keys are clamped to INT32_MIN + 1 so
+    the kernel's mask sentinel stays strictly below every input.  The only
+    f32 value that maps to INT32_MIN is the full-payload negative NaN
+    0xFFFFFFFF — unclamped, masking a picked element would not change it and
+    the same index would be re-picked k times.  The clamp merges that NaN
+    with its payload-neighbor (still returned as a negative NaN); scores
+    from real dot products are never NaN, so the pipeline is unaffected."""
+    keys = jnp.maximum(_f32_keys(scores_t), jnp.int32(_INT_MIN + 1))
+    val_k, idx = _select_keys_t(keys, k, query_block)
     return _keys_f32(val_k), idx
 
 
@@ -305,7 +314,9 @@ def select_topk_t_pruned(
     k*NT to NT + k*(NT/sup + k*sup).
     """
     nt, b = scores_t.shape
-    keys = _f32_keys(scores_t)
+    # clamp: keep the mask sentinel strictly below every input key (the
+    # full-payload negative NaN maps to INT32_MIN — see select_topk_t)
+    keys = jnp.maximum(_f32_keys(scores_t), jnp.int32(_INT_MIN + 1))
     if k * sup >= nt or nt < 4 * sup:
         val_k, idx = _select_keys_t(keys, k, query_block)
         return _keys_f32(val_k), idx
