@@ -10,7 +10,6 @@ alone, (b) the full exact pipeline.
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,20 +19,9 @@ import jax.numpy as jnp
 from two_tower_models_tpu.ops.pallas import mips_topk as M
 
 
-def timed(fn, q0, steps=20):
-    def chained(q, n):
-        def body(i, q):
-            out = fn(q)
-            live = jnp.sum(out[0].astype(jnp.float32)) if isinstance(out, tuple) else jnp.sum(out)
-            return q + (live * 1e-12).astype(q.dtype)
-
-        return jnp.sum(jax.lax.fori_loop(0, n, body, q))
-
-    g = jax.jit(chained, static_argnums=1)
-    float(jax.device_get(g(q0, steps)))
-    t0 = time.perf_counter()
-    float(jax.device_get(g(q0, steps)))
-    return (time.perf_counter() - t0) / steps
+# chained timing, ALL outputs live, min-of-3 (CLAUDE.md measurement rules;
+# a dead output once let XLA narrow exact top-k 17x)
+from scripts.exp_exact_pipeline import timed
 
 
 if __name__ == "__main__":

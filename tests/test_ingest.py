@@ -118,3 +118,34 @@ def test_serving_query_raw_matches_prehashed():
         jnp.asarray(hash_item_keys(hist, CFG)),
     )
     np.testing.assert_array_equal(np.asarray(raw), np.asarray(pre))
+
+
+def test_object_dtype_int_keys_take_the_int_path():
+    """Object-dtype integer keys (pandas nullable columns, Python ints beyond
+    int64) must hash as integers: bytes(k) on the string path would allocate
+    k ZERO bytes (OOM for large ids) and hash only the magnitude."""
+    import numpy as np
+
+    from two_tower_models_tpu.config import ModelConfig
+    from two_tower_models_tpu.training.ingest import hash_user_keys
+
+    cfg = ModelConfig(
+        user_id_hash_size=1024, user_id_embedding_dim=8,
+        item_id_hash_size=1024, item_id_embedding_dim=8,
+        user_features_size=4, item_features_size=4,
+        user_value_weights=(1.0,),
+    )
+    obj = np.array([7, 10**13, (1 << 64) + 7, 7], dtype=object)
+    slots = hash_user_keys(obj, cfg)
+    ref = hash_user_keys(np.array([7, 10**13 % (1 << 64)], np.uint64), cfg)
+    assert slots[0] == ref[0] and slots[1] == ref[1]
+    assert slots[2] == slots[0] and slots[3] == slots[0]  # mod-2^64 wrap
+    with pytest.raises(TypeError):
+        hash_user_keys(np.array([7, "user_a"], dtype=object), cfg)
+
+
+def test_hash_strings_rejects_non_string_keys():
+    from two_tower_models_tpu.native import hash_strings
+
+    with pytest.raises(TypeError):
+        hash_strings([3], 128)

@@ -545,3 +545,36 @@ def test_gspmd_step_parity_with_single_chip():
     # the semantic check: it's the same traced program, partitioned.
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
+
+
+@requires_8
+def test_mesh_path_rejects_packed_tables():
+    """create_train_state packs big tables by default (single-chip layout);
+    the mesh path row-shards plain [V, D] storage, and a packed leaf would
+    silently misroute every id >= V/P through the shard ranges.  Every mesh
+    entry must reject it loudly instead."""
+    import dataclasses
+
+    from two_tower_models_tpu.parallel.retrieval import make_sharded_refresh_fn
+
+    tcfg = TrainConfig(batch_size=16, pack_tables_min_rows=32)  # force packing
+    state = create_train_state(jax.random.key(0), CFG, tcfg)
+    assert state.params["user_id_table"].shape[-1] != CFG.user_id_embedding_dim
+
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    step = make_sharded_train_step(CFG, tcfg, mesh, MeshConfig(data=2, model=2))
+    batch = make_batch(jax.random.key(1), CFG, 16)
+    with pytest.raises(ValueError, match="packed"):
+        step(state, batch)
+
+    refresh = make_sharded_refresh_fn(CFG, mesh)
+    ids = jnp.arange(32, dtype=jnp.int32)
+    feats = jnp.zeros((32, CFG.item_features_size))
+    with pytest.raises(ValueError, match="packed"):
+        refresh(state.params, ids, feats)
+
+    # pack=False (what training/loop.py passes on the mesh path) is accepted
+    state2 = create_train_state(jax.random.key(0), CFG, tcfg, pack=False)
+    state2 = shard_state(state2, mesh)
+    out_state, metrics = step(state2, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -98,3 +98,20 @@ def test_refresh_swaps_params_without_retrace():
     )
     np.testing.assert_array_equal(after, want)
     assert (before != after).any()  # different params -> different retrieval
+
+
+def test_warmup_compiles_the_varlen_variant():
+    """warmup(variable_history=True) pre-compiles the history_len argument
+    structure, so the first per-example-length query is a cache hit, and a
+    full-length history_len vector retrieves identically to None."""
+    params = two_tower.init_params(jax.random.key(0), CFG)
+    catalog_ids = jnp.arange(96)
+    catalog_features = jax.random.normal(jax.random.key(3), (96, 8))
+    eng = RetrievalEngine.from_params(params, CFG, catalog_ids, catalog_features)
+    eng.warmup(8, variable_history=True)
+    uid, feat, hist = _inputs()
+    lens = jnp.full((8,), CFG.history_len, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(eng.query(uid, feat, hist, history_len=lens)),
+        np.asarray(eng.query(uid, feat, hist)),
+    )

@@ -128,6 +128,11 @@ def hash_strings(
     force_fallback: bool = False,
 ) -> np.ndarray:
     """String/bytes entity keys -> int32 table slots in [0, table_size)."""
+    for k in keys:
+        if not isinstance(k, (str, bytes)):
+            # bytes(int) would allocate that many ZERO bytes — an int key
+            # here is a routing bug (use hash_ids), never a valid encoding
+            raise TypeError(f"hash_strings takes str/bytes keys, got {type(k)}")
     raw = [k.encode() if isinstance(k, str) else bytes(k) for k in keys]
     lib = None if force_fallback else _get_lib()
     if lib is not None:

@@ -41,6 +41,7 @@ from two_tower_models_tpu.ops.pallas.fused_mha import (
     _merge_heads,
     _mm_dtype,
     _pad_bh,
+    _pad_lens,
     _round_up,
     _split_heads_sum,
     _sublane,
@@ -823,17 +824,6 @@ def _stack_bwd_kernel(
     dx_ref[...] = dy.astype(dx_ref.dtype)
 
 
-def _pad_lens_col(lens, tile_b):
-    from two_tower_models_tpu.ops.pallas.fused_mha import _round_up
-
-    b = lens.shape[0]
-    return jnp.pad(
-        lens.astype(jnp.int32).reshape(b, 1),
-        ((0, _round_up(b, tile_b) - b), (0, 0)),
-        constant_values=1,
-    )
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_attn_stack(
     x: jnp.ndarray,  # [B, H, D] — PE already added, invalid rows zeroed
@@ -858,7 +848,7 @@ def _stack_fwd_impl(x, lengths, w_in, b_in, w_out, b_out, num_heads, tile_b):
     hp = _round_up(h_true, _sublane(x.dtype))
     tile_b = _vmem_tile(tile_b, num_layers, hp, d, x.dtype, 192)
     xp = _pad_bh(x, tile_b, hp)
-    lp = _pad_lens_col(lengths, tile_b)
+    lp = _pad_lens(lengths, tile_b)
     bp = xp.shape[0]
     y = pl.pallas_call(
         functools.partial(
@@ -897,7 +887,7 @@ def _stack_vjp_bwd(num_heads, tile_b, res, g):
     hp = _round_up(h_true, _sublane(x.dtype))
     tile_b = _vmem_tile(tile_b, num_layers, hp, d, x.dtype, 192)
     xp = _pad_bh(x, tile_b, hp)
-    lp = _pad_lens_col(lengths, tile_b)
+    lp = _pad_lens(lengths, tile_b)
     bp = xp.shape[0]
     gp = jnp.pad(g.astype(x.dtype), ((0, bp - b), (0, 0)))
     dx, dwi, dbi, dwo, dbo = pl.pallas_call(

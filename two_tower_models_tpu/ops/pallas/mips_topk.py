@@ -583,13 +583,13 @@ def mips_topk_exact_pallas(
         # supertile-pruned select reads k*TILE + k*(k*TILE/8 + 8k) rows
         # instead of XLA's slow wide selection.  Tie rule is preserved: the
         # pool is in ascending global-index order (tiles sorted above).
-        ct = cand_scores.T  # [pool, BP]
+        cs_t = cand_scores.T  # [pool, BP]
         cpad = 0 if bp <= 128 else (-bp) % 128
         if cpad or pool % 8:
-            ct = jnp.pad(
-                ct, ((0, (-pool) % 8), (0, cpad)), constant_values=_NEG_INF
+            cs_t = jnp.pad(
+                cs_t, ((0, (-pool) % 8), (0, cpad)), constant_values=_NEG_INF
             )
-        vals_t, pos_t = select_topk_t_pruned(ct, k)
+        vals_t, pos_t = select_topk_t_pruned(cs_t, k)
         top_scores = vals_t[:, :bp].T
         sel = pos_t[:, :bp].T
     else:

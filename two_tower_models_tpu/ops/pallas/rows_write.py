@@ -184,6 +184,57 @@ def rows_write(
     return out[:v]
 
 
+def lane_block_plan(
+    sorted_ids: jnp.ndarray,  # [N] int32: LOGICAL ids, sorted (dups adjacent)
+    dup_mask: jnp.ndarray,  # [N] bool: slot repeats the previous slot's id
+    pack: int,  # P = physical width / D
+):
+    """Id-dependent half of merge_lane_blocks: (phys_ids [N], bits [N],
+    pos [P, N], found [P, N], keep [N]).  Depends only on the id set, so one
+    plan serves every row array written back for the same batch (table, mu,
+    nu on the lazy-Adam path — the searchsorted passes are the expensive
+    part at ~139k rows/step).
+
+    Scatter-free: for each lane block c, the (unique) slot holding logical id
+    phys*P + c is found with one searchsorted and its contribution gathered —
+    P gathers instead of an XLA scatter, whose constants dominate at large N.
+    """
+    n = sorted_ids.shape[0]
+    ids = sorted_ids.astype(jnp.int32)
+    phys = ids // pack
+    pos_c, found_c = [], []
+    bits = jnp.zeros((n,), jnp.int32)
+    for c in range(pack):
+        want = phys * pack + c
+        raw = jnp.searchsorted(ids, want).astype(jnp.int32)
+        pos = jnp.minimum(raw, n - 1)
+        found = (jnp.take(ids, pos) == want) & (raw < n)
+        pos_c.append(pos)
+        found_c.append(found)
+        bits = bits | jnp.where(found, jnp.int32(1) << c, 0)
+    firsts = jnp.concatenate([jnp.ones((1,), bool), phys[1:] != phys[:-1]])
+    bits = jnp.where(firsts, bits, 0)  # non-first run slots: masked no-ops
+    return phys, bits, jnp.stack(pos_c), jnp.stack(found_c), ~dup_mask
+
+
+def merge_rows(plan, sorted_ids, new_rows):
+    """Value half: merge [N, D] logical rows into [N, P*D] physical rows per
+    a lane_block_plan."""
+    phys, bits, pos, found, keep = plan
+    n, d = new_rows.shape
+    pack = pos.shape[0]
+    blk = sorted_ids.astype(jnp.int32) % pack
+    oh = jax.nn.one_hot(blk, pack, dtype=new_rows.dtype) * keep[:, None]
+    contrib = (oh[:, :, None] * new_rows[:, None, :]).reshape(n, pack * d)
+    # contributions live only at each id's FIRST slot (dups carry zeros and
+    # searchsorted(side='left') never lands on them)
+    vals = jnp.zeros_like(contrib)
+    for c in range(pack):
+        row = jnp.take(contrib, pos[c], axis=0)
+        vals = vals + jnp.where(found[c][:, None], row, 0)
+    return vals
+
+
 def merge_lane_blocks(
     sorted_ids: jnp.ndarray,  # [N] int32: LOGICAL ids, sorted (dups adjacent)
     dup_mask: jnp.ndarray,  # [N] bool: slot repeats the previous slot's id
@@ -196,35 +247,12 @@ def merge_lane_blocks(
     the first slot of each run of equal physical rows carries the merged
     value and lane bitmask; later slots of the run keep the same physical id
     with bits == 0 (rows_write applies them as masked no-ops).  Duplicate
-    logical slots contribute nothing.
-
-    Scatter-free: for each lane block c, the (unique) slot holding logical id
-    phys*P + c is found with one searchsorted and its contribution gathered —
-    P gathers instead of an XLA scatter, whose constants dominate at large N.
+    logical slots contribute nothing.  (Convenience wrapper: callers writing
+    several row arrays for one id set should build lane_block_plan once and
+    merge_rows each.)
     """
-    n, d = new_rows.shape
-    keep = ~dup_mask
-    ids = sorted_ids.astype(jnp.int32)
-    phys = ids // pack
-    blk = ids % pack
-
-    oh = jax.nn.one_hot(blk, pack, dtype=new_rows.dtype) * keep[:, None]
-    contrib = (oh[:, :, None] * new_rows[:, None, :]).reshape(n, pack * d)
-
-    # contributions live only at each id's FIRST slot (dups carry zeros and
-    # searchsorted(side='left') never lands on them)
-    vals = jnp.zeros_like(contrib)
-    bits = jnp.zeros((n,), jnp.int32)
-    for c in range(pack):
-        want = phys * pack + c
-        pos = jnp.searchsorted(ids, want).astype(jnp.int32)
-        found = (pos < n) & (jnp.take(ids, jnp.minimum(pos, n - 1)) == want)
-        row = jnp.take(contrib, jnp.minimum(pos, n - 1), axis=0)
-        vals = vals + jnp.where(found[:, None], row, 0)
-        bits = bits | jnp.where(found, jnp.int32(1) << c, 0)
-    firsts = jnp.concatenate([jnp.ones((1,), bool), phys[1:] != phys[:-1]])
-    bits = jnp.where(firsts, bits, 0)  # non-first run slots: masked no-ops
-    return phys, bits, vals
+    plan = lane_block_plan(sorted_ids, dup_mask, pack)
+    return plan[0], plan[1], merge_rows(plan, sorted_ids, new_rows)
 
 
 def rows_write_reference(dst, ids, bits, vals, block_dim):

@@ -236,7 +236,9 @@ def predict_step_time(
     compute (0 = serial, 1 = fully overlapped).
     """
     wire = sum(c.wire_bytes for c in collectives)
-    lat = sum(1 for c in collectives if c.n > 1) * COLLECTIVE_LATENCY_S
+    # each EXECUTION pays the launch/sync latency: ring_negatives issues its
+    # ppermutes once per hop (executions = n), not once per step
+    lat = sum(c.executions for c in collectives if c.n > 1) * COLLECTIVE_LATENCY_S
     comm_s = wire / ici_bytes_per_s + lat
     step_s = compute_s + (1.0 - overlap) * comm_s
     return {

@@ -51,6 +51,28 @@ from two_tower_models_tpu.training.state import TrainState, make_optimizer
 _SHARDED_TABLES = ("user_id_table", "item_id_table")
 
 
+def require_plain_tables(params, cfg: "ModelConfig"):
+    """The mesh path row-shards plain [V, D] tables; a 128-lane-packed leaf
+    (nn.packed_table, the single-chip big-table layout) would silently
+    misroute every id >= V/P through the shard ranges.  create_train_state
+    packs by default above pack_tables_min_rows, so reject packed leaves at
+    every mesh entry instead of trusting call sites to remember pack=False."""
+    dims = {
+        "user_id_table": cfg.user_id_embedding_dim,
+        "item_id_table": cfg.item_id_embedding_dim,
+    }
+    for name, dim in dims.items():
+        t = params.get(name)
+        if t is not None and t.shape[-1] != dim:
+            raise ValueError(
+                f"{name} has shape {tuple(t.shape)} but logical dim {dim} — "
+                "it is 128-lane-packed storage, which the mesh path cannot "
+                "row-shard. Build the state with create_train_state(..., "
+                "pack=False) (tables row-shard across chips instead) or "
+                "unpack via nn.packed_table.unpack_table before shard_state."
+            )
+
+
 def _lookup(params, name, ids, strategy):
     """Embedding lookup routed through the model-axis exchange for sharded
     tables, local take for replicated ones."""
@@ -502,6 +524,7 @@ def make_sharded_train_step(
 
     def step(state: TrainState, batch: Batch):
         if "fn" not in _cache:
+            require_plain_tables(state.params, model_cfg)
             _cache["fn"] = build(state, batch)
         return _cache["fn"](state, batch)
 

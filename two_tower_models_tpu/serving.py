@@ -149,14 +149,23 @@ class RetrievalEngine:
             history_len,
         )
 
-    def warmup(self, batch_size: int) -> None:
-        """Compile the query function for a batch size ahead of traffic."""
+    def warmup(self, batch_size: int, variable_history: bool = False) -> None:
+        """Compile the query function for a batch size ahead of traffic.
+
+        ``variable_history=True`` also compiles the ``history_len`` variant
+        (a different argument pytree -> its own executable): without it, the
+        first per-example-length production query would pay a full XLA
+        compile at traffic time — the spike warmup exists to prevent."""
         cfg = self._cfg
-        self.query(
-            jnp.zeros((batch_size,), jnp.int32),
-            jnp.zeros((batch_size, cfg.user_features_size), jnp.float32),
-            jnp.zeros((batch_size, cfg.history_len), jnp.int32),
-        )
+        uid = jnp.zeros((batch_size,), jnp.int32)
+        ufeat = jnp.zeros((batch_size, cfg.user_features_size), jnp.float32)
+        uhist = jnp.zeros((batch_size, cfg.history_len), jnp.int32)
+        self.query(uid, ufeat, uhist)
+        if variable_history:
+            self.query(
+                uid, ufeat, uhist,
+                history_len=jnp.full((batch_size,), cfg.history_len, jnp.int32),
+            )
 
     def refresh(
         self,

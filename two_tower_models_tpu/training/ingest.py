@@ -38,7 +38,20 @@ def _hash_any(keys: RawKeys, table_size: int, seed: int) -> np.ndarray:
     arr = np.asarray(keys)
     if arr.dtype.kind in ("i", "u"):
         return hash_ids(arr, table_size, seed=seed)
-    if arr.dtype.kind in ("U", "S", "O"):
+    if arr.dtype.kind == "O":
+        # Object arrays (pandas nullable columns, Python ints > int64) hold
+        # ints OR strings; ints must take the uint64 path — bytes(int) would
+        # allocate k zero bytes and hash only the magnitude.
+        flat = arr.reshape(-1)
+        if all(isinstance(k, int) for k in flat):
+            u64 = np.array([k % (1 << 64) for k in flat], np.uint64)
+            return hash_ids(u64, table_size, seed=seed).reshape(arr.shape)
+        if not all(isinstance(k, (str, bytes)) for k in flat):
+            raise TypeError(
+                "object-dtype raw keys must be all ints or all str/bytes"
+            )
+        return hash_strings(list(flat), table_size, seed=seed).reshape(arr.shape)
+    if arr.dtype.kind in ("U", "S"):
         flat = [k for k in arr.reshape(-1)]
         return hash_strings(flat, table_size, seed=seed).reshape(arr.shape)
     raise TypeError(f"unsupported raw-key dtype {arr.dtype}")

@@ -164,11 +164,16 @@ def apply_sparse_adam(
 
     if packed:
         from two_tower_models_tpu.ops.pallas.rows_write import (
-            merge_lane_blocks,
+            lane_block_plan,
+            merge_rows,
             rows_write,
         )
 
         pack = table.shape[-1] // d
+        # one plan (the searchsorted passes) serves all three row arrays —
+        # pids/bits depend only on the id set, not the values
+        plan = lane_block_plan(sorted_ids, dup_mask, pack)
+        pids, bits = plan[0], plan[1]
         for_each = (
             (table, new_rows.astype(table.dtype)),
             (mu, mu2),
@@ -176,7 +181,7 @@ def apply_sparse_adam(
         )
         out = []
         for dst, rows in for_each:
-            pids, bits, vals = merge_lane_blocks(sorted_ids, dup_mask, rows, pack)
+            vals = merge_rows(plan, sorted_ids, rows)
             out.append(rows_write(dst, pids, bits, vals, block_dim=d))
         return tuple(out)
 
