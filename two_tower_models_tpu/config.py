@@ -144,6 +144,25 @@ class ModelConfig:
     # semantics; scale by ~1/B for large-batch training.
     debias_aux_weight: float = 1.0
 
+    # --- negative sampling beyond the in-batch pool ---
+    # The reference deliberately ships PLAIN in-batch softmax and points at
+    # the literature for the rest (two_tower_base_retrieval.py:289-295 names
+    # both corrections and cites the Mixed Negative Sampling guidance).
+    # These implement that pointer, off by default (parity semantics):
+    #   mixed_negatives  — append B' uniformly-sampled catalog items to every
+    #     batch's negative pool (Yang et al. 2020, MNS): in-batch negatives
+    #     follow the ITEM POPULARITY distribution, so rarely-engaged items
+    #     are almost never contrasted against; uniform extras restore tail
+    #     coverage.  Sampled inside the jitted step from state.rng.
+    #   logq_correction  — subtract each candidate's log sampling probability
+    #     from its logit before the softmax (Yi et al. 2019 sampled-softmax
+    #     correction; positives included): in-batch columns use the data's
+    #     item log-frequency (SyntheticRecData.catalog_logq), uniform extras
+    #     use log(1/C).  Without it, popular items are over-penalized as
+    #     negatives and the model systematically under-scores them.
+    mixed_negatives: int = 0
+    logq_correction: bool = False
+
     # --- light ranker / KD / reward model ---
     light_ranker: Optional[LightRankerConfig] = None
     # knowledge distillation: light ranker emits T extra aux logits trained
@@ -271,6 +290,12 @@ class DataConfig:
     # padding, masked via Batch.history_len (the reference punts on variable
     # histories — two_tower_base_retrieval.py:177-181).
     variable_history: bool = False
+    # Zipf exponent for item engagement: P(item rank r) ∝ 1/(r+1)^skew.
+    # 0 keeps the uniform sampling of the reference demo; > 0 creates the
+    # head-heavy popularity distribution where in-batch negatives
+    # systematically over-punish popular items — the regime
+    # ModelConfig.logq_correction / mixed_negatives exist for.
+    popularity_skew: float = 0.0
 
 
 @dataclass(frozen=True)

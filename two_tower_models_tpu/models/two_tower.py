@@ -71,6 +71,12 @@ class Batch(NamedTuple):
     # histories full (the reference's fixed-H semantics,
     # two_tower_base_retrieval.py:177-181 punts on this).
     history_len: Optional[jnp.ndarray] = None  # [B] int32
+    # Mixed-negative sampling / logQ correction (ModelConfig.mixed_negatives,
+    # .logq_correction; training.data.extend_batch fills these):
+    neg_item_id: Optional[jnp.ndarray] = None  # [B'] int32 — uniform extras
+    neg_item_features: Optional[jnp.ndarray] = None  # [B', II]
+    item_logq: Optional[jnp.ndarray] = None  # [B] log sampling prob (data freq)
+    neg_logq: Optional[jnp.ndarray] = None  # [B'] log sampling prob (1/C)
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +332,91 @@ def _in_batch_ce(scores: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.logsumexp(scores, axis=-1) - jnp.diagonal(scores)
 
 
+def _extended_ce(
+    cfg: ModelConfig,
+    user_embedding: jnp.ndarray,  # [B, DI]
+    item_embeddings: jnp.ndarray,  # [B, DI]
+    scores: Optional[jnp.ndarray],  # [B, B] precomputed logits, or None
+    neg_item_embeddings: Optional[jnp.ndarray],  # [B', DI] mixed negatives
+    item_logq: Optional[jnp.ndarray],  # [B]
+    neg_logq: Optional[jnp.ndarray],  # [B']
+) -> jnp.ndarray:
+    """CE over the EXTENDED candidate pool [in-batch items; mixed negatives]
+    with optional logQ correction: ce[b] = lse_j(s_bj − logq_j) − (s_bb −
+    logq_b).
+
+    Three equivalent routes, matching softmax_retrieval_loss's tiers:
+    precomputed ``scores`` get the extra columns appended (reward-model /
+    light-ranker paths already hold the [B, B] matrix); the fused path folds
+    −logq into ONE extra feature column ([u, 1] · [pool_j, −logq_j] =
+    s_bj − logq_j) so the rectangular LSE kernel runs unchanged and the pool
+    matrix never reaches HBM; the plain path materializes the rectangle.
+    """
+    b = user_embedding.shape[0]
+    pool = item_embeddings
+    corr = jnp.zeros((b,), jnp.float32) if item_logq is None else item_logq
+    corr = corr.astype(jnp.float32)
+    if neg_item_embeddings is not None:
+        pool = jnp.concatenate([pool, neg_item_embeddings.astype(pool.dtype)])
+        ncorr = (
+            jnp.zeros((neg_item_embeddings.shape[0],), jnp.float32)
+            if neg_logq is None
+            else neg_logq.astype(jnp.float32)
+        )
+        corr = jnp.concatenate([corr, ncorr])
+
+    pos = (
+        jnp.diagonal(scores)
+        if scores is not None
+        else jnp.einsum(
+            "bd,bd->b", user_embedding, item_embeddings,
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(jnp.float32) - corr[:b]
+
+    if scores is not None:
+        full = scores.astype(jnp.float32)
+        if neg_item_embeddings is not None:
+            neg_scores = jnp.dot(
+                user_embedding, neg_item_embeddings.T,
+                preferred_element_type=jnp.float32,
+            )
+            full = jnp.concatenate([full, neg_scores], axis=1)
+        return jax.nn.logsumexp(full - corr[None, :], axis=-1) - pos
+
+    if cfg.fused_loss:
+        from two_tower_models_tpu.ops.pallas.fused_softmax import fused_lse
+        from two_tower_models_tpu.parallel.islands import island_mesh
+
+        ones = jnp.ones((b, 1), user_embedding.dtype)
+        aug_u = jnp.concatenate([user_embedding, ones], axis=1)
+        aug_pool = jnp.concatenate(
+            [pool, (-corr)[:, None].astype(pool.dtype)], axis=1
+        )
+        mesh = island_mesh()
+        if mesh is None:
+            lse = fused_lse(aug_u, aug_pool)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from two_tower_models_tpu.parallel.mesh import DATA_AXIS
+
+            lse = jax.shard_map(
+                lambda u, i: fused_lse(u, i),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )(aug_u, aug_pool)
+        return lse - pos
+
+    full = (
+        jnp.dot(user_embedding, pool.T, preferred_element_type=jnp.float32)
+        - corr[None, :]
+    )
+    return jax.nn.logsumexp(full, axis=-1) - pos
+
+
 def _net_user_value(cfg: ModelConfig, labels: jnp.ndarray) -> jnp.ndarray:
     """nuv = labels @ user_value_weights over the first T tasks
     (two_tower_base_retrieval.py:322)."""
@@ -351,6 +442,9 @@ def softmax_retrieval_loss(
     *,
     max_normalize: bool = True,
     scores: Optional[jnp.ndarray] = None,
+    neg_item_embeddings: Optional[jnp.ndarray] = None,  # [B', DI]
+    item_logq: Optional[jnp.ndarray] = None,  # [B]
+    neg_logq: Optional[jnp.ndarray] = None,  # [B']
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """In-batch sampled-softmax loss weighted by (debiased) net_user_value.
 
@@ -359,8 +453,24 @@ def softmax_retrieval_loss(
     hook, clamp >= 1e-6, normalize by the batch max (skipped by the light
     ranker's own path, two_tower_plus_light_ranker.py:286-289 — controlled by
     ``max_normalize``), weighted mean, plus the debias aux loss.
+
+    Beyond the reference (its comments name both and cite the literature,
+    two_tower_base_retrieval.py:289-295): ``neg_item_embeddings`` appends B'
+    mixed uniform negatives to every row's candidate pool, and
+    ``item_logq``/``neg_logq`` apply the sampled-softmax logQ correction —
+    candidate j's logit becomes s_ij − logq_j, positives included (Yi et al.
+    2019).  Both optional; absent, the loss is bit-identical to the parity
+    path.  The corrected CE reduces to ``lse([u,1] @ [pool,−logq]^T) − pos``,
+    so the fused rectangular LSE kernel applies unchanged via one appended
+    feature column.
     """
-    if scores is not None:
+    extended = neg_item_embeddings is not None or item_logq is not None
+    if extended:
+        ce = _extended_ce(
+            cfg, user_embedding, item_embeddings, scores,
+            neg_item_embeddings, item_logq, neg_logq,
+        )
+    elif scores is not None:
         ce = _in_batch_ce(scores)  # [B]
     elif cfg.fused_loss:
         from two_tower_models_tpu.ops.pallas.fused_softmax import (
@@ -557,11 +667,23 @@ def train_loss(
         if cfg.reward_model
         else None
     )
+    # Mixed uniform negatives ride the item tower like any other item; the
+    # logQ fields pass straight through to the CE (see _extended_ce).
+    neg_embs = (
+        compute_item_embeddings(params, cfg, batch.neg_item_id, batch.neg_item_features)
+        if batch.neg_item_id is not None
+        else None
+    )
+    sampling_kw = dict(
+        neg_item_embeddings=neg_embs,
+        item_logq=batch.item_logq,
+        neg_logq=batch.neg_logq,
+    )
 
     if cfg.light_ranker is not None:
         retrieval_loss, metrics = softmax_retrieval_loss(
             params, cfg, user_emb, item_embs, batch.position, batch.labels,
-            max_normalize=False, scores=scores,
+            max_normalize=False, scores=scores, **sampling_kw,
         )
         diag = (
             jnp.diagonal(scores)
@@ -578,7 +700,7 @@ def train_loss(
     else:
         loss, metrics = softmax_retrieval_loss(
             params, cfg, user_emb, item_embs, batch.position, batch.labels,
-            scores=scores,
+            scores=scores, **sampling_kw,
         )
 
     if cfg.reward_model:

@@ -379,7 +379,21 @@ def make_gspmd_train_step(
             else:
                 bspec = to_sharding(batch_pspec())
                 body_fn = step
-            batch_sh = jax.tree_util.tree_map(lambda _: bspec, batch)
+            # mixed-negative fields are [B']-shaped (logically replicated
+            # candidates, B' need not divide the data axis) — replicate them;
+            # every [B]-leading field shards over data as usual
+            _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+            repl_sh = to_sharding(P())
+            batch_sh = type(batch)(
+                **{
+                    name: (
+                        None
+                        if leaf is None
+                        else (repl_sh if name in _repl else bspec)
+                    )
+                    for name, leaf in batch._asdict().items()
+                }
+            )
             compiled["fn"] = jax.jit(
                 body_fn,
                 in_shardings=(state_sh, batch_sh),
@@ -433,6 +447,13 @@ def make_sharded_train_step(
         raise ValueError(
             "ring_negatives shares negatives across the data axis; it "
             "requires global_negatives=True"
+        )
+    if model_cfg.mixed_negatives or model_cfg.logq_correction:
+        raise NotImplementedError(
+            "mixed_negatives / logq_correction are not plumbed through the "
+            "explicit shard_map step (the extended candidate pool would need "
+            "its own gather); the GSPMD path traces the single-chip loss and "
+            "supports both — use explicit_collectives=False (--gspmd)"
         )
     tx = make_optimizer(train_cfg)
 

@@ -36,6 +36,10 @@ class SyntheticRecData(NamedTuple):
     catalog_features: jnp.ndarray  # [C, F]
     # optional per-example valid-history lengths (DataConfig.variable_history)
     history_lens: jnp.ndarray = None  # [N] int32 in [1, H], or None
+    # smoothed empirical log item-sampling probability, aligned with
+    # catalog_ids (sorted ascending) — consumed by extend_batch when
+    # ModelConfig.logq_correction is on
+    catalog_logq: jnp.ndarray = None  # [C] f32, or None
 
     @property
     def num_samples(self) -> int:
@@ -58,7 +62,16 @@ def make_synthetic_data(
     n = cfg.num_samples
 
     user_ids = jax.random.randint(ks[0], (n,), 0, cfg.num_users)
-    item_ids = jax.random.randint(ks[1], (n,), 0, cfg.num_items)
+    if cfg.popularity_skew > 0:
+        # Zipf-distributed engagement: item id r drawn ∝ 1/(r+1)^skew (id
+        # order doubles as popularity rank).  This is the head-heavy regime
+        # the logQ correction / mixed negatives target.
+        logits = -cfg.popularity_skew * jnp.log(
+            jnp.arange(1, cfg.num_items + 1, dtype=jnp.float32)
+        )
+        item_ids = jax.random.categorical(ks[1], logits, shape=(n,))
+    else:
+        item_ids = jax.random.randint(ks[1], (n,), 0, cfg.num_items)
     user_features = jax.random.normal(ks[2], (n, cfg.feature_dim))
     item_features_noise = jax.random.normal(ks[3], (n, cfg.feature_dim))
     user_history = jax.random.randint(ks[4], (n, cfg.history_len), 0, cfg.num_items)
@@ -89,6 +102,11 @@ def make_synthetic_data(
     else:
         labels = jax.random.bernoulli(ks[6], 0.5, (n, t)).astype(jnp.float32)
 
+    # Smoothed empirical item log-frequency (add-one): the log sampling
+    # probability each in-batch item was drawn with, for logq_correction.
+    counts = jnp.bincount(item_ids, length=cfg.num_items).astype(jnp.float32)
+    catalog_logq = jnp.log((counts + 1.0) / (n + cfg.num_items))
+
     return SyntheticRecData(
         user_ids=user_ids,
         user_features=user_features,
@@ -100,6 +118,7 @@ def make_synthetic_data(
         catalog_ids=catalog_ids,
         catalog_features=catalog_features,
         history_lens=history_lens,
+        catalog_logq=catalog_logq,
     )
 
 
@@ -115,6 +134,44 @@ def gather_batch(data: SyntheticRecData, idx: jnp.ndarray) -> Batch:
         labels=data.labels[idx],
         history_len=None if data.history_lens is None else data.history_lens[idx],
     )
+
+
+def extend_batch(
+    model_cfg, data: SyntheticRecData, batch: Batch, rng: jax.Array
+) -> Batch:
+    """Fill the mixed-negative / logQ fields of a batch (jit-safe).
+
+    With ``model_cfg.mixed_negatives = B'``, draws B' catalog rows uniformly
+    (ids + their catalog features) as extra softmax negatives.  With
+    ``logq_correction``, attaches each in-batch item's log data frequency
+    (``data.catalog_logq``, aligned with the sorted ``catalog_ids``) and the
+    uniform extras' log(1/C).  No-op when both features are off — callers on
+    the parity path never see an rng split or extra fields."""
+    b_extra = int(model_cfg.mixed_negatives)
+    if b_extra == 0 and not model_cfg.logq_correction:
+        return batch
+    c = data.catalog_ids.shape[0]
+    # stacked multi-step dispatch batches ([K, B] ids) get independent
+    # negatives per step row: lead = (K,) there, () for a single step
+    lead = batch.item_id.shape[:-1]
+    upd = {}
+    if b_extra > 0:
+        slot = jax.random.randint(rng, lead + (b_extra,), 0, c)
+        upd["neg_item_id"] = data.catalog_ids[slot].astype(batch.item_id.dtype)
+        upd["neg_item_features"] = data.catalog_features[slot]
+        if model_cfg.logq_correction:
+            upd["neg_logq"] = jnp.full(
+                lead + (b_extra,), -jnp.log(float(c)), jnp.float32
+            )
+    if model_cfg.logq_correction:
+        if data.catalog_logq is None:
+            raise ValueError(
+                "logq_correction needs data.catalog_logq (log sampling "
+                "probability per catalog item, aligned with catalog_ids)"
+            )
+        pos = jnp.searchsorted(data.catalog_ids, batch.item_id).astype(jnp.int32)
+        upd["item_logq"] = data.catalog_logq[pos]
+    return batch._replace(**upd)
 
 
 def epoch_batches(

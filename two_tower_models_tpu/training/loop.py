@@ -123,6 +123,19 @@ def _train_inner(
                 "GSPMD path traces the single-chip loss, where the ring "
                 "collective has no axis) — drop --gspmd"
             )
+        if model_cfg.mixed_negatives or model_cfg.logq_correction:
+            if mesh_cfg.explicit_collectives:
+                raise NotImplementedError(
+                    "mixed_negatives / logq_correction on a mesh need the "
+                    "GSPMD path (--gspmd): the explicit shard_map step does "
+                    "not plumb the extended negative pool"
+                )
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "mixed_negatives / logq_correction are single-host for "
+                    "now (the multihost batch lift does not carry the "
+                    "replicated negative fields)"
+                )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh
@@ -169,15 +182,37 @@ def _train_inner(
                 return lambda s, d, idx: one(s, _to_global(d, idx))
 
         else:
+            if model_cfg.mixed_negatives or model_cfg.logq_correction:
+                # GSPMD path: negatives/logq attach where batches are built
+                # (the traced single-chip loss consumes the extended Batch).
+                # Keys fold a host-side counter — no device round trip.
+                from two_tower_models_tpu.training.data import extend_batch
+                import itertools as _it
+
+                _neg_base = jax.random.key(train_cfg.seed + 1789)
+                _neg_ctr = _it.count()
+                _gather_ext = jax.jit(
+                    lambda d, idx, k: extend_batch(
+                        model_cfg, d, gather_batch(d, idx), k
+                    )
+                )
+
+                def _gather(d, idx):
+                    return _gather_ext(
+                        d, idx, jax.random.fold_in(_neg_base, next(_neg_ctr))
+                    )
+
+            else:
+                _gather = gather
 
             def train_step(s, d, idx):
                 # idx is [B] (single step) or [K, B] (multi-step dispatch);
                 # gather_batch fancy-indexing produces matching batch ranks.
-                return _mesh_step(s, gather(d, idx))
+                return _mesh_step(s, _gather(d, idx))
 
             def _make_single():
                 one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
-                return lambda s, d, idx: one(s, gather(d, idx))
+                return lambda s, d, idx: one(s, _gather(d, idx))
 
     else:
         train_step = make_train_step(model_cfg, train_cfg)
@@ -432,6 +467,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--mixed_negatives", type=int, default=0,
+                   help="extra uniformly-sampled catalog negatives per batch (MNS)")
+    p.add_argument("--logq_correction", action="store_true",
+                   help="subtract each candidate's log sampling probability from its logit (sampled-softmax correction)")
+    p.add_argument("--popularity_skew", type=float, default=0.0,
+                   help="Zipf exponent for synthetic item engagement (0 = uniform)")
     p.add_argument("--variable_history", action="store_true",
                    help="per-example history lengths in [1, H] (Batch.history_len "
                         "masks the encoder's mean/attention/PE)")
@@ -478,6 +519,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         item_features_size=args.feature_dim,
         history_len=args.user_history_seqlen,
         compute_dtype=args.compute_dtype,
+        mixed_negatives=args.mixed_negatives,
+        logq_correction=args.logq_correction,
     )
     data = DataConfig(
         num_samples=args.num_samples,
@@ -488,6 +531,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         num_tasks=model.num_tasks,
         structured=not args.noise_labels,
         variable_history=args.variable_history,
+        popularity_skew=args.popularity_skew,
     )
     train_c = TrainConfig(
         batch_size=args.batch_size,

@@ -75,6 +75,9 @@ def build_minibatch(
         # history ids embed through the ITEM table
         # (two_tower_with_user_history_encoder.py:105)
         item_parts.append(batch.user_history.reshape(-1))
+    if batch.neg_item_id is not None:
+        # mixed negatives embed through the item table too
+        item_parts.append(batch.neg_item_id.reshape(-1))
     item_ids = jnp.concatenate(item_parts)
 
     params2 = dict(params)
@@ -110,6 +113,12 @@ def build_minibatch(
         batch2 = batch2._replace(
             user_history=jnp.searchsorted(
                 s_item, batch.user_history
+            ).astype(jnp.int32)
+        )
+    if batch.neg_item_id is not None:
+        batch2 = batch2._replace(
+            neg_item_id=jnp.searchsorted(
+                s_item, batch.neg_item_id
             ).astype(jnp.int32)
         )
     return params2, batch2, meta

@@ -18,7 +18,11 @@ from two_tower_models_tpu.config import ModelConfig, TrainConfig
 from two_tower_models_tpu.models.two_tower import Batch, train_loss
 from two_tower_models_tpu.models import two_tower
 from two_tower_models_tpu.retrieval.mips import mips_topk_exact
-from two_tower_models_tpu.training.data import SyntheticRecData, gather_batch
+from two_tower_models_tpu.training.data import (
+    SyntheticRecData,
+    extend_batch,
+    gather_batch,
+)
 from two_tower_models_tpu.training.state import TrainState, make_optimizer
 
 
@@ -49,6 +53,13 @@ def make_train_step(
 
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
         batch = gather_batch(data, idx)
+        if model_cfg.mixed_negatives or model_cfg.logq_correction:
+            # fresh negatives / logq fields per step; the rng split is gated
+            # so the parity path's state.rng trajectory is untouched
+            rng, sub = jax.random.split(state.rng)
+            batch = extend_batch(model_cfg, data, batch, sub)
+        else:
+            rng = state.rng
         (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
             state.params, model_cfg, batch
         )
@@ -71,7 +82,7 @@ def make_train_step(
             step=state.step + 1,
             params=params,
             opt_state=opt_state,
-            rng=state.rng,
+            rng=rng,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
@@ -107,6 +118,11 @@ def _make_lazy_table_step(
 
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
         batch = gather_batch(data, idx)
+        if model_cfg.mixed_negatives or model_cfg.logq_correction:
+            rng, sub = jax.random.split(state.rng)
+            batch = extend_batch(model_cfg, data, batch, sub)
+        else:
+            rng = state.rng
         params = state.params
         params2, batch2, meta = build_minibatch(model_cfg, params, batch)
 
@@ -146,7 +162,7 @@ def _make_lazy_table_step(
                 "dense": dense_opt,
                 "tables": {"mu": new_mu, "nu": new_nu},
             },
-            rng=state.rng,
+            rng=rng,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
