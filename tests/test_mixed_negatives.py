@@ -187,3 +187,14 @@ def test_gspmd_mesh_supports_extension_explicit_raises():
     step = make_gspmd_train_step(CFG, tcfg, mesh, mesh_cfg)
     _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+    # fused route: the augmented-column LSE runs as a shard_map island on
+    # the mesh; loss must match the plain-dot route on the same inputs
+    fused_cfg = dataclasses.replace(CFG, fused_loss=True)
+    fstate = create_train_state(jax.random.key(0), fused_cfg, tcfg, pack=False)
+    fstate = shard_state(fstate, mesh)
+    fstep = make_gspmd_train_step(fused_cfg, tcfg, mesh, mesh_cfg)
+    _, fmetrics = fstep(fstate, batch)
+    np.testing.assert_allclose(
+        float(fmetrics["loss"]), float(metrics["loss"]), rtol=1e-4
+    )
