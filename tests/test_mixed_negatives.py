@@ -161,7 +161,10 @@ def test_parity_path_untouched():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
-def test_gspmd_mesh_supports_extension_explicit_raises():
+def test_mesh_paths_support_extension_ring_raises():
+    """Both mesh steps (explicit shard_map and GSPMD) train with the extended
+    pool and match the single-chip loss on the same batch; ring_negatives
+    raises (corrections would have to travel with the blocks)."""
     from two_tower_models_tpu.config import MeshConfig
     from two_tower_models_tpu.parallel.mesh import make_mesh
     from two_tower_models_tpu.parallel.sharding import shard_state
@@ -173,20 +176,39 @@ def test_gspmd_mesh_supports_extension_explicit_raises():
     mesh_cfg = MeshConfig(data=4, model=2)
     mesh = make_mesh(mesh_cfg)
     tcfg = TrainConfig(batch_size=16)
-    with pytest.raises(NotImplementedError, match="GSPMD"):
-        make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg)
+    with pytest.raises(NotImplementedError, match="ring"):
+        make_sharded_train_step(
+            CFG, tcfg, mesh, MeshConfig(data=4, model=2, ring_negatives=True)
+        )
 
     data = make_synthetic_data(
         DataConfig(num_samples=64, num_items=32, num_users=16)
     )
-    state = create_train_state(jax.random.key(0), CFG, tcfg, pack=False)
-    state = shard_state(state, mesh)
     batch = extend_batch(
         CFG, data, gather_batch(data, jnp.arange(16)), jax.random.key(5)
     )
-    step = make_gspmd_train_step(CFG, tcfg, mesh, mesh_cfg)
-    _, metrics = step(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
+    want, _ = two_tower.train_loss(
+        create_train_state(jax.random.key(0), CFG, tcfg, pack=False).params,
+        CFG, batch,
+    )
+
+    for maker in (make_sharded_train_step, make_gspmd_train_step):
+        state = create_train_state(jax.random.key(0), CFG, tcfg, pack=False)
+        state = shard_state(state, mesh)
+        step = maker(CFG, tcfg, mesh, mesh_cfg)
+        _, metrics = step(state, batch)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(want), rtol=1e-5,
+            err_msg=str(maker),
+        )
+
+    # fused route: the augmented-column LSE on the mesh matches too
+    fused_cfg = dataclasses.replace(CFG, fused_loss=True)
+    fstate = create_train_state(jax.random.key(0), fused_cfg, tcfg, pack=False)
+    fstate = shard_state(fstate, mesh)
+    fstep = make_gspmd_train_step(fused_cfg, tcfg, mesh, mesh_cfg)
+    _, fmetrics = fstep(fstate, batch)
+    np.testing.assert_allclose(float(fmetrics["loss"]), float(want), rtol=1e-4)
 
     # fused route: the augmented-column LSE runs as a shard_map island on
     # the mesh; loss must match the plain-dot route on the same inputs

@@ -223,25 +223,89 @@ def sharded_loss_fn(
         and n_data > 1
         and not cfg.reward_model
     )
-    if mesh_cfg.global_negatives and n_data > 1 and not use_ring:
+    gathered = mesh_cfg.global_negatives and n_data > 1 and not use_ring
+    if gathered:
         # Global negative pool: [n_data * B_local, DI], gathered over ICI.
         negatives = jax.lax.all_gather(item_emb, DATA_AXIS, tiled=True)
     else:
         negatives = item_emb
+
+    # Mixed negatives / logQ (ModelConfig.mixed_negatives, .logq_correction):
+    # the [B'] fields arrive REPLICATED across data shards (P() specs) — the
+    # extras' tower runs identically per chip, each chip's grad carries only
+    # its rows' CE contribution, and the data-axis grad psum sums them into
+    # the single-chip total (same flow as the gathered negatives' grads).
+    # corr aligns with the candidate pool: gathered in-batch columns need the
+    # all-gathered item_logq; the positive's own logq stays local.
+    neg_emb = None
+    corr = None
+    if batch.neg_item_id is not None:
+        neg_emb = _item_tower(
+            params, cfg, batch.neg_item_id, batch.neg_item_features,
+            lookup_strategy, tp,
+        )  # [B', DI]
+    if batch.item_logq is not None or batch.neg_logq is not None:
+        ilq = (
+            jnp.zeros((b_local,), jnp.float32)
+            if batch.item_logq is None
+            else batch.item_logq.astype(jnp.float32)
+        )
+        gcorr = jax.lax.all_gather(ilq, DATA_AXIS, tiled=True) if gathered else ilq
+        if neg_emb is not None:
+            nlq = (
+                jnp.zeros((neg_emb.shape[0],), jnp.float32)
+                if batch.neg_logq is None
+                else batch.neg_logq.astype(jnp.float32)
+            )
+            gcorr = jnp.concatenate([gcorr, nlq])
+        corr = gcorr
+    extended = neg_emb is not None or corr is not None
+    if extended and use_ring:
+        raise NotImplementedError(
+            "mixed_negatives / logq_correction are not plumbed through "
+            "ring_negatives (corrections would have to travel with the "
+            "blocks) — use the all_gather path (ring_negatives=False)"
+        )
+    pool = (
+        negatives
+        if neg_emb is None
+        else jnp.concatenate([negatives, neg_emb.astype(negatives.dtype)])
+    )
 
     # The positive is this shard's own diagonal — u_b . i_b needs no gathered
     # data regardless of the negative pool.
     pos = jnp.einsum(
         "bd,bd->b", user_emb, item_emb, preferred_element_type=jnp.float32
     )
+    # corrected positive logit for the CE only: s_bb - logq_b (Yi et al.);
+    # the light-ranker / reward-model terms consume the RAW diagonal.
+    pos_ce = (
+        pos - batch.item_logq.astype(jnp.float32)
+        if batch.item_logq is not None
+        else pos
+    )
     scores = None
     if cfg.reward_model:
         # Reward model consumes the full [B_local, B_global] score matrix
-        # (pairwise ranker logits) — materialize it and reuse for the CE.
+        # (pairwise ranker logits, UNcorrected) — materialize it and reuse
+        # for the CE.
         scores = jnp.dot(
             user_emb, negatives.T, preferred_element_type=jnp.float32
         )
-        lse = jax.nn.logsumexp(scores, axis=-1)
+        full = scores
+        if neg_emb is not None:
+            full = jnp.concatenate(
+                [
+                    full,
+                    jnp.dot(
+                        user_emb, neg_emb.T, preferred_element_type=jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+        if corr is not None:
+            full = full - corr[None, :]
+        lse = jax.nn.logsumexp(full, axis=-1)
     elif use_ring:
         # Flash-style ppermute ring: the [B_global, DI] pool never
         # materializes (parallel.ring_loss) — the at-scale denominator.
@@ -249,17 +313,27 @@ def sharded_loss_fn(
 
         lse = ring_lse(user_emb, item_emb, DATA_AXIS)
     elif cfg.fused_loss:
-        # Flash-style kernel: the [B_local, B_global] score matrix never
-        # reaches HBM (ops.pallas.fused_softmax.fused_lse).
+        # Flash-style kernel: the [B_local, B_global(+B')] score matrix never
+        # reaches HBM (ops.pallas.fused_softmax.fused_lse).  Corrections fold
+        # into one appended feature column: [u,1]·[pool,-logq] = s - logq.
         from two_tower_models_tpu.ops.pallas.fused_softmax import fused_lse
 
-        lse = fused_lse(user_emb, negatives)
+        if corr is not None:
+            aug_u = jnp.concatenate(
+                [user_emb, jnp.ones((b_local, 1), user_emb.dtype)], axis=1
+            )
+            aug_pool = jnp.concatenate(
+                [pool, (-corr)[:, None].astype(pool.dtype)], axis=1
+            )
+            lse = fused_lse(aug_u, aug_pool)
+        else:
+            lse = fused_lse(user_emb, pool)
     else:
-        lse = jax.nn.logsumexp(
-            jnp.dot(user_emb, negatives.T, preferred_element_type=jnp.float32),
-            axis=-1,
-        )
-    ce = lse - pos  # [B_local]
+        full = jnp.dot(user_emb, pool.T, preferred_element_type=jnp.float32)
+        if corr is not None:
+            full = full - corr[None, :]
+        lse = jax.nn.logsumexp(full, axis=-1)
+    ce = lse - pos_ce  # [B_local]
 
     nuv = _net_user_value(cfg, batch.labels)
     nuv, aux_loss = debias_net_user_value(params, cfg, nuv, batch.position, user_emb)
@@ -448,12 +522,13 @@ def make_sharded_train_step(
             "ring_negatives shares negatives across the data axis; it "
             "requires global_negatives=True"
         )
-    if model_cfg.mixed_negatives or model_cfg.logq_correction:
+    if (model_cfg.mixed_negatives or model_cfg.logq_correction) and (
+        mesh_cfg.ring_negatives
+    ):
         raise NotImplementedError(
-            "mixed_negatives / logq_correction are not plumbed through the "
-            "explicit shard_map step (the extended candidate pool would need "
-            "its own gather); the GSPMD path traces the single-chip loss and "
-            "supports both — use explicit_collectives=False (--gspmd)"
+            "mixed_negatives / logq_correction are not plumbed through "
+            "ring_negatives (corrections would have to travel with the "
+            "blocks) — use the all_gather path (ring_negatives=False)"
         )
     tx = make_optimizer(train_cfg)
 
@@ -507,8 +582,18 @@ def make_sharded_train_step(
     def build(state: TrainState, batch: Batch):
         specs = state_pspecs(state, mesh_cfg.tower_tp)
         # spec tree mirrors the batch's present fields (None fields — e.g.
-        # history_len when histories are fixed-length — carry no spec)
-        batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
+        # history_len when histories are fixed-length — carry no spec);
+        # mixed-negative fields are [B']-replicated candidates, not
+        # data-sharded rows
+        _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+        batch_specs = type(batch)(
+            **{
+                name: (
+                    None if leaf is None else (P() if name in _repl else P(DATA_AXIS))
+                )
+                for name, leaf in batch._asdict().items()
+            }
+        )
         metric_names = ["softmax_ce", "debias_aux_loss", "nuv_mean", "loss", "grad_norm"]
         if model_cfg.light_ranker is not None:
             metric_names.append("light_ranker_bce")

@@ -124,11 +124,11 @@ def _train_inner(
                 "collective has no axis) — drop --gspmd"
             )
         if model_cfg.mixed_negatives or model_cfg.logq_correction:
-            if mesh_cfg.explicit_collectives:
+            if mesh_cfg.ring_negatives:
                 raise NotImplementedError(
-                    "mixed_negatives / logq_correction on a mesh need the "
-                    "GSPMD path (--gspmd): the explicit shard_map step does "
-                    "not plumb the extended negative pool"
+                    "mixed_negatives / logq_correction do not compose with "
+                    "ring_negatives (corrections would have to travel with "
+                    "the ring blocks) — drop --ring_negatives"
                 )
             if jax.process_count() > 1:
                 raise NotImplementedError(
