@@ -67,6 +67,19 @@ def worker(pid: int, nprocs: int, port: int) -> None:
         train=TrainConfig(batch_size=16, num_epochs=2, log_every=0, eval_top_k=10),
     )
     summary = train(exp, JsonlLogger(echo=False))
+
+    # Second pass: mixed negatives + logQ on skewed data — every host must
+    # draw the SAME negatives (counter-folded keys) and the replicated [B\']
+    # fields must lift correctly through global_batch_from_host_local.
+    from dataclasses import replace as _replace
+
+    exp2 = _replace(
+        exp,
+        model=_replace(exp.model, mixed_negatives=8, logq_correction=True),
+        data=_replace(exp.data, popularity_skew=0.5),
+    )
+    summary2 = train(exp2, JsonlLogger(echo=False))
+
     print(
         "RESULT "
         + json.dumps(
@@ -74,6 +87,8 @@ def worker(pid: int, nprocs: int, port: int) -> None:
                 "pid": pid,
                 "final_loss": round(float(summary["final_loss"]), 6),
                 "recall": round(float(summary["recall_at_k"]), 6),
+                "mns_final_loss": round(float(summary2["final_loss"]), 6),
+                "mns_recall": round(float(summary2["recall_at_k"]), 6),
             }
         ),
         flush=True,
@@ -115,11 +130,13 @@ def parent() -> int:
             return 1
         results.append(json.loads(lines[-1][len("RESULT "):]))
     a, b = results
-    if (a["final_loss"], a["recall"]) != (b["final_loss"], b["recall"]):
+    a.pop("pid"), b.pop("pid")
+    if a != b:
         print(f"MISMATCH across hosts: {a} vs {b}")
         return 1
     print(f"multihost smoke ok: 2 processes x {LOCAL_DEVICES} devices, "
-          f"mesh (2,2), loss={a['final_loss']}, recall={a['recall']}")
+          f"mesh (2,2), loss={a['final_loss']}, recall={a['recall']}, "
+          f"mns_loss={a['mns_final_loss']}, mns_recall={a['mns_recall']}")
     return 0
 
 

@@ -64,12 +64,21 @@ def global_batch_from_host_local(
     """
     lead = (None,) * stack_dims
 
-    def lift(x):
+    def lift(x, spec):
         if x is None:
             return None
-        sharding = NamedSharding(mesh, P(*lead, DATA_AXIS))
         return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)
+            NamedSharding(mesh, spec), np.asarray(x)
         )
 
-    return Batch(*(lift(x) for x in local_batch))
+    # Mixed-negative fields are [B'] candidates shared by the whole global
+    # batch: every host passes the SAME full array (extend_batch keys fold a
+    # deterministic counter) and it lifts replicated, not row-sharded.
+    _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+    row_spec = P(*lead, DATA_AXIS)
+    return Batch(
+        **{
+            name: lift(x, P() if name in _repl else row_spec)
+            for name, x in local_batch._asdict().items()
+        }
+    )

@@ -130,12 +130,6 @@ def _train_inner(
                     "ring_negatives (corrections would have to travel with "
                     "the ring blocks) — drop --ring_negatives"
                 )
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "mixed_negatives / logq_correction are single-host for "
-                    "now (the multihost batch lift does not carry the "
-                    "replicated negative fields)"
-                )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh
@@ -167,9 +161,30 @@ def _train_inner(
             )
             import numpy as _np
 
+            if model_cfg.mixed_negatives or model_cfg.logq_correction:
+                # every host draws the SAME negatives (key folds a counter
+                # advanced identically by the shared batch schedule), so the
+                # [B'] fields lift replicated in global_batch_from_host_local
+                from two_tower_models_tpu.training.data import extend_batch
+                import itertools as _it
+
+                _neg_base = jax.random.key(train_cfg.seed + 1789)
+                _neg_ctr = _it.count()
+
+                def _extend_local(d, local):
+                    return extend_batch(
+                        model_cfg, d, local,
+                        jax.random.fold_in(_neg_base, next(_neg_ctr)),
+                    )
+
+            else:
+
+                def _extend_local(d, local):
+                    return local
+
             def _to_global(d, idx):
                 idx = _np.asarray(idx)
-                local = gather_batch(d, host_batch_slice(idx))
+                local = _extend_local(d, gather_batch(d, host_batch_slice(idx)))
                 return global_batch_from_host_local(
                     local, mesh, stack_dims=idx.ndim - 1
                 )
