@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tests.conftest import make_batch
 from two_tower_models_tpu.config import DataConfig, ModelConfig, TrainConfig
 from two_tower_models_tpu.models import two_tower
 from two_tower_models_tpu.models.two_tower import Batch
@@ -82,6 +81,26 @@ def test_extended_ce_matches_oracle_all_routes():
     np.testing.assert_allclose(np.asarray(neg_only), want_neg, rtol=1e-5)
 
 
+def test_extended_ce_routes_agree_under_bf16():
+    """Corrections apply in the compute dtype on every route (the fused
+    augmented column necessarily rounds to bf16; the plain/scores routes
+    quantize to match), so the routes agree under bf16 too — not just f32."""
+    u, i, n = (x.astype(jnp.bfloat16) for x in _embs(jax.random.key(2)))
+    ilq = jnp.log(jax.random.uniform(jax.random.key(5), (B,), minval=0.01, maxval=0.2))
+    nlq = jnp.full((BP,), -jnp.log(64.0))
+    plain = two_tower._extended_ce(CFG, u, i, None, n, ilq, nlq)
+    fused_cfg = dataclasses.replace(CFG, fused_loss=True)
+    fused = two_tower._extended_ce(fused_cfg, u, i, None, n, ilq, nlq)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(fused), rtol=1e-4, atol=1e-4
+    )
+    scores = jnp.dot(u, i.T, preferred_element_type=jnp.float32)
+    via_scores = two_tower._extended_ce(CFG, u, i, scores, n, ilq, nlq)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(via_scores), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_extended_ce_gradients_fused_vs_plain():
     u, i, n = _embs(jax.random.key(1))
     ilq = jnp.log(jax.random.uniform(jax.random.key(4), (B,), minval=0.05, maxval=0.3))
@@ -107,12 +126,20 @@ def test_extend_batch_fields_and_noop():
     out = extend_batch(CFG, data, batch, jax.random.key(0))
     assert out.neg_item_id.shape == (6,) and out.neg_item_features.shape == (6, 8)
     assert out.item_logq.shape == (8,) and out.neg_logq.shape == (6,)
-    # item_logq is the smoothed empirical frequency of that item id
-    np.testing.assert_allclose(
-        np.asarray(out.item_logq),
-        np.asarray(data.catalog_logq)[np.asarray(batch.item_id)],
+    # every candidate carries the MIXED proposal log-prob (Yang et al.):
+    # log(B·p(j) + B'/C) with the constant 1/(B+B') dropped (softmax-invariant)
+    mix = np.logaddexp(
+        np.log(8.0) + np.asarray(data.catalog_logq), np.log(6.0 / 32.0)
     )
-    np.testing.assert_allclose(np.asarray(out.neg_logq), -np.log(32.0))
+    np.testing.assert_allclose(
+        np.asarray(out.item_logq), mix[np.asarray(batch.item_id)], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.neg_logq), mix[np.asarray(out.neg_item_id)], rtol=1e-6
+    )
+    # frequent items carry a LARGER correction than tail items
+    order = np.argsort(-np.asarray(data.catalog_logq))
+    assert mix[order[0]] > mix[order[-1]]
     # stacked [K, B] dispatch batches get per-row negatives
     stacked = gather_batch(data, jnp.arange(16).reshape(2, 8))
     out2 = extend_batch(CFG, data, stacked, jax.random.key(1))
@@ -209,14 +236,3 @@ def test_mesh_paths_support_extension_ring_raises():
     fstep = make_gspmd_train_step(fused_cfg, tcfg, mesh, mesh_cfg)
     _, fmetrics = fstep(fstate, batch)
     np.testing.assert_allclose(float(fmetrics["loss"]), float(want), rtol=1e-4)
-
-    # fused route: the augmented-column LSE runs as a shard_map island on
-    # the mesh; loss must match the plain-dot route on the same inputs
-    fused_cfg = dataclasses.replace(CFG, fused_loss=True)
-    fstate = create_train_state(jax.random.key(0), fused_cfg, tcfg, pack=False)
-    fstate = shard_state(fstate, mesh)
-    fstep = make_gspmd_train_step(fused_cfg, tcfg, mesh, mesh_cfg)
-    _, fmetrics = fstep(fstate, batch)
-    np.testing.assert_allclose(
-        float(fmetrics["loss"]), float(metrics["loss"]), rtol=1e-4
-    )

@@ -75,8 +75,15 @@ class Batch(NamedTuple):
     # .logq_correction; training.data.extend_batch fills these):
     neg_item_id: Optional[jnp.ndarray] = None  # [B'] int32 — uniform extras
     neg_item_features: Optional[jnp.ndarray] = None  # [B', II]
-    item_logq: Optional[jnp.ndarray] = None  # [B] log sampling prob (data freq)
-    neg_logq: Optional[jnp.ndarray] = None  # [B'] log sampling prob (1/C)
+    item_logq: Optional[jnp.ndarray] = None  # [B] log mixed-proposal prob
+    neg_logq: Optional[jnp.ndarray] = None  # [B'] log mixed-proposal prob
+
+
+# Batch fields that are [B']-shaped shared candidates rather than per-example
+# rows: replicated (P()) on every mesh/multihost path, never data-sharded.
+REPLICATED_BATCH_FIELDS = frozenset(
+    {"neg_item_id", "neg_item_features", "neg_logq"}
+)
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +371,11 @@ def _extended_ce(
             else neg_logq.astype(jnp.float32)
         )
         corr = jnp.concatenate([corr, ncorr])
+    # One quantization semantic for every route: corrections apply in the
+    # compute dtype (the fused route's augmented column necessarily rounds
+    # to pool.dtype; rounding here keeps the plain-dot and precomputed-score
+    # routes bit-aligned with it under bf16 — a no-op under f32).
+    corr = corr.astype(pool.dtype).astype(jnp.float32)
 
     pos = (
         jnp.diagonal(scores)

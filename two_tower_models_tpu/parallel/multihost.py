@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from two_tower_models_tpu.models.two_tower import Batch
+from two_tower_models_tpu.models.two_tower import Batch, REPLICATED_BATCH_FIELDS
 from two_tower_models_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -72,9 +72,9 @@ def global_batch_from_host_local(
         )
 
     # Mixed-negative fields are [B'] candidates shared by the whole global
-    # batch: every host passes the SAME full array (extend_batch keys fold a
-    # deterministic counter) and it lifts replicated, not row-sharded.
-    _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+    # batch: every host passes the SAME full array (extend_batch_for_idx keys
+    # off the shared schedule) and it lifts replicated, not row-sharded.
+    _repl = REPLICATED_BATCH_FIELDS
     row_spec = P(*lead, DATA_AXIS)
     return Batch(
         **{

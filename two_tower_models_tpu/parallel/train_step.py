@@ -37,6 +37,7 @@ from two_tower_models_tpu.config import MeshConfig, ModelConfig, TrainConfig
 from two_tower_models_tpu.models.history_encoder import history_encoder_apply
 from two_tower_models_tpu.models.two_tower import (
     Batch,
+    REPLICATED_BATCH_FIELDS,
     _bce_with_logits,
     _light_ranker_train_terms,
     _net_user_value,
@@ -258,7 +259,9 @@ def sharded_loss_fn(
                 else batch.neg_logq.astype(jnp.float32)
             )
             gcorr = jnp.concatenate([gcorr, nlq])
-        corr = gcorr
+        # corrections apply in the compute dtype on every route — see
+        # models.two_tower._extended_ce (keeps fused/plain bit-aligned)
+        corr = gcorr.astype(item_emb.dtype).astype(jnp.float32)
     extended = neg_emb is not None or corr is not None
     if extended and use_ring:
         raise NotImplementedError(
@@ -277,10 +280,12 @@ def sharded_loss_fn(
     pos = jnp.einsum(
         "bd,bd->b", user_emb, item_emb, preferred_element_type=jnp.float32
     )
-    # corrected positive logit for the CE only: s_bb - logq_b (Yi et al.);
+    # corrected positive logit for the CE only: s_bb - logq_b (Yi et al.),
+    # with the same compute-dtype quantization as the column corrections;
     # the light-ranker / reward-model terms consume the RAW diagonal.
     pos_ce = (
-        pos - batch.item_logq.astype(jnp.float32)
+        pos
+        - batch.item_logq.astype(item_emb.dtype).astype(jnp.float32)
         if batch.item_logq is not None
         else pos
     )
@@ -456,7 +461,7 @@ def make_gspmd_train_step(
             # mixed-negative fields are [B']-shaped (logically replicated
             # candidates, B' need not divide the data axis) — replicate them;
             # every [B]-leading field shards over data as usual
-            _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+            _repl = REPLICATED_BATCH_FIELDS
             repl_sh = to_sharding(P())
             batch_sh = type(batch)(
                 **{
@@ -585,7 +590,7 @@ def make_sharded_train_step(
         # history_len when histories are fixed-length — carry no spec);
         # mixed-negative fields are [B']-replicated candidates, not
         # data-sharded rows
-        _repl = {"neg_item_id", "neg_item_features", "neg_logq"}
+        _repl = REPLICATED_BATCH_FIELDS
         batch_specs = type(batch)(
             **{
                 name: (

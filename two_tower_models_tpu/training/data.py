@@ -143,10 +143,14 @@ def extend_batch(
 
     With ``model_cfg.mixed_negatives = B'``, draws B' catalog rows uniformly
     (ids + their catalog features) as extra softmax negatives.  With
-    ``logq_correction``, attaches each in-batch item's log data frequency
-    (``data.catalog_logq``, aligned with the sorted ``catalog_ids``) and the
-    uniform extras' log(1/C).  No-op when both features are off — callers on
-    the parity path never see an rng split or extra fields."""
+    ``logq_correction``, attaches each candidate's log proposal probability
+    under the MIXED distribution the pool was actually drawn from (Yang et
+    al. 2020): Q*(j) ∝ B·p(j) + B'/C, where p is the data's item frequency
+    (``data.catalog_logq``, aligned with the sorted ``catalog_ids``).  The
+    1/(B+B') normalizer is a constant logit shift, invariant under softmax,
+    and is dropped; with B' = 0 the formula reduces to the plain in-batch
+    correction log p(j) + const.  No-op when both features are off — callers
+    on the parity path never see an rng split or extra fields."""
     b_extra = int(model_cfg.mixed_negatives)
     if b_extra == 0 and not model_cfg.logq_correction:
         return batch
@@ -154,24 +158,49 @@ def extend_batch(
     # stacked multi-step dispatch batches ([K, B] ids) get independent
     # negatives per step row: lead = (K,) there, () for a single step
     lead = batch.item_id.shape[:-1]
+    b = batch.item_id.shape[-1]
     upd = {}
+    if model_cfg.logq_correction and data.catalog_logq is None:
+        raise ValueError(
+            "logq_correction needs data.catalog_logq (log sampling "
+            "probability per catalog item, aligned with catalog_ids)"
+        )
+    if model_cfg.logq_correction:
+        # log(B·p(j) + B'/C) per catalog item, computed stably in log space
+        mix_logq = jnp.logaddexp(
+            jnp.log(float(b)) + data.catalog_logq,
+            jnp.full_like(data.catalog_logq, jnp.log(float(b_extra) / c))
+            if b_extra
+            else jnp.full_like(data.catalog_logq, -jnp.inf),
+        )
     if b_extra > 0:
         slot = jax.random.randint(rng, lead + (b_extra,), 0, c)
         upd["neg_item_id"] = data.catalog_ids[slot].astype(batch.item_id.dtype)
         upd["neg_item_features"] = data.catalog_features[slot]
         if model_cfg.logq_correction:
-            upd["neg_logq"] = jnp.full(
-                lead + (b_extra,), -jnp.log(float(c)), jnp.float32
-            )
+            upd["neg_logq"] = mix_logq[slot]
     if model_cfg.logq_correction:
-        if data.catalog_logq is None:
-            raise ValueError(
-                "logq_correction needs data.catalog_logq (log sampling "
-                "probability per catalog item, aligned with catalog_ids)"
-            )
         pos = jnp.searchsorted(data.catalog_ids, batch.item_id).astype(jnp.int32)
-        upd["item_logq"] = data.catalog_logq[pos]
+        upd["item_logq"] = mix_logq[pos]
     return batch._replace(**upd)
+
+
+def extend_batch_for_idx(
+    model_cfg,
+    data: SyntheticRecData,
+    batch: Batch,
+    base_key: jax.Array,
+    idx: jnp.ndarray,
+) -> Batch:
+    """extend_batch keyed by the batch's own sample indices: the key folds
+    idx[...0], so negatives are a pure function of (seed, batch schedule) —
+    identical across hosts AND across checkpoint resume (a restarted run
+    reconstructs the same schedule and draws the same negatives; a side
+    counter would restart at 0 and diverge)."""
+    if not (model_cfg.mixed_negatives or model_cfg.logq_correction):
+        return batch
+    key = jax.random.fold_in(base_key, jnp.asarray(idx).reshape(-1)[0])
+    return extend_batch(model_cfg, data, batch, key)
 
 
 def epoch_batches(

@@ -123,13 +123,6 @@ def _train_inner(
                 "GSPMD path traces the single-chip loss, where the ring "
                 "collective has no axis) — drop --gspmd"
             )
-        if model_cfg.mixed_negatives or model_cfg.logq_correction:
-            if mesh_cfg.ring_negatives:
-                raise NotImplementedError(
-                    "mixed_negatives / logq_correction do not compose with "
-                    "ring_negatives (corrections would have to travel with "
-                    "the ring blocks) — drop --ring_negatives"
-                )
         # Multi-chip: shard the state over the mesh and run the explicit-
         # collectives shard_map step; batches reshard on entry via GSPMD.
         from two_tower_models_tpu.parallel.mesh import make_mesh
@@ -148,6 +141,9 @@ def _train_inner(
 
         gather = jax.jit(gather_batch)
         _mesh_step = _make_mesh_step(train_cfg)
+        from two_tower_models_tpu.training.data import extend_batch_for_idx
+
+        _neg_base = jax.random.key(train_cfg.seed + 1789)
 
         if jax.process_count() > 1:
             # Multi-host: the batch schedule is identical on every host
@@ -161,30 +157,14 @@ def _train_inner(
             )
             import numpy as _np
 
-            if model_cfg.mixed_negatives or model_cfg.logq_correction:
-                # every host draws the SAME negatives (key folds a counter
-                # advanced identically by the shared batch schedule), so the
-                # [B'] fields lift replicated in global_batch_from_host_local
-                from two_tower_models_tpu.training.data import extend_batch
-                import itertools as _it
-
-                _neg_base = jax.random.key(train_cfg.seed + 1789)
-                _neg_ctr = _it.count()
-
-                def _extend_local(d, local):
-                    return extend_batch(
-                        model_cfg, d, local,
-                        jax.random.fold_in(_neg_base, next(_neg_ctr)),
-                    )
-
-            else:
-
-                def _extend_local(d, local):
-                    return local
-
             def _to_global(d, idx):
                 idx = _np.asarray(idx)
-                local = _extend_local(d, gather_batch(d, host_batch_slice(idx)))
+                # negatives key off the GLOBAL idx before host slicing —
+                # identical on every host and across checkpoint resume
+                local = extend_batch_for_idx(
+                    model_cfg, d, gather_batch(d, host_batch_slice(idx)),
+                    _neg_base, idx,
+                )
                 return global_batch_from_host_local(
                     local, mesh, stack_dims=idx.ndim - 1
                 )
@@ -198,25 +178,14 @@ def _train_inner(
 
         else:
             if model_cfg.mixed_negatives or model_cfg.logq_correction:
-                # GSPMD path: negatives/logq attach where batches are built
-                # (the traced single-chip loss consumes the extended Batch).
-                # Keys fold a host-side counter — no device round trip.
-                from two_tower_models_tpu.training.data import extend_batch
-                import itertools as _it
-
-                _neg_base = jax.random.key(train_cfg.seed + 1789)
-                _neg_ctr = _it.count()
-                _gather_ext = jax.jit(
-                    lambda d, idx, k: extend_batch(
-                        model_cfg, d, gather_batch(d, idx), k
+                # mesh path: negatives/logq attach where batches are built
+                # (both mesh steps consume the extended Batch); the key
+                # derivation stays inside jit — no device round trip
+                _gather = jax.jit(
+                    lambda d, idx: extend_batch_for_idx(
+                        model_cfg, d, gather_batch(d, idx), _neg_base, idx
                     )
                 )
-
-                def _gather(d, idx):
-                    return _gather_ext(
-                        d, idx, jax.random.fold_in(_neg_base, next(_neg_ctr))
-                    )
-
             else:
                 _gather = gather
 
