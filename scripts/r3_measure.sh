@@ -20,7 +20,10 @@ python scripts/exp_scatter65k.py 2>&1 | tee /tmp/r3_scatter.log
 echo "== 5/6 headline bench"
 python bench.py 2>&1 | tee /tmp/r3_bench.log
 
-echo "== 6/6 MIPS bench (exact vs approx)"
+echo "== 6/7 MIPS bench (exact vs approx)"
 python scripts/bench_mips.py 2>&1 | tee /tmp/r3_mips.log
+
+echo "== 7/7 8M-row lazy-Adam capacity demo (dense cannot fit at this size)"
+python scripts/bench_tables.py --rows 8388608 --lazy 2>&1 | tee /tmp/r3_8m.log
 
 echo "DONE — logs in /tmp/r3_*.log"
