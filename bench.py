@@ -67,6 +67,30 @@ def _bench_cfg():
 BATCH_SIZE = 4096
 
 
+def _probe_backend(timeout_s: float = 240.0) -> str | None:
+    """Probe that a JAX backend can initialize, in a SUBPROCESS with a hard
+    timeout (on this container a dead axon tunnel makes ``jax.devices()``
+    HANG in C code for ~25 min — an in-process try/except cannot bound it).
+    Returns None when healthy, else a short error string.  The subprocess
+    exits before we init our own backend (the tunnel is single-client).
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s:.0f}s"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return "backend init failed: " + (tail[-1] if tail else f"rc={r.returncode}")
+    return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=30)
@@ -80,7 +104,22 @@ def main(argv=None):
                    help="K optimizer steps per jitted dispatch (lax.scan carry aliasing)")
     p.add_argument("--fused-adam", action="store_true",
                    help="use the Pallas one-pass Adam kernel (measured ~1.1ms SLOWER end-to-end: the pallas_call is a fusion/scheduling barrier XLA's native adam chain doesn't have)")
+    p.add_argument("--probe-timeout", type=float, default=240.0,
+                   help="seconds before declaring the backend unavailable")
     args = p.parse_args(argv)
+
+    # Graceful failure when the backend is down (VERDICT r3 #8): keep the
+    # BENCH_r* artifact series machine-readable through tunnel outages.
+    err = _probe_backend(args.probe_timeout)
+    if err is not None:
+        print(json.dumps({
+            "metric": "train_step_examples_per_sec_per_chip",
+            "value": None,
+            "unit": "examples/sec",
+            "vs_baseline": None,
+            "error": err,
+        }))
+        return 1
 
     import jax
     import jax.numpy as jnp
@@ -196,4 +235,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
