@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--ring", action="store_true",
                    help="predict with ring_negatives (ppermute ring instead "
                         "of the all_gather negative pool)")
+    p.add_argument("--sparse", choices=["auto", "on", "off"], default="auto",
+                   help="MeshConfig.sparse_table_grads: dedup'd (ids, rows) "
+                        "table-grad exchange vs the dense [V_shard, D] psum")
     args = p.parse_args(argv)
 
     from two_tower_models_tpu.config import (
@@ -67,11 +70,16 @@ def main(argv=None):
     b_l, di = args.batch_per_chip, cfg.item_id_embedding_dim
 
     for mesh in (
-        MeshConfig(data=2, model=1, ring_negatives=args.ring),
-        MeshConfig(data=4, model=1, ring_negatives=args.ring),
-        MeshConfig(data=8, model=1, ring_negatives=args.ring),
-        MeshConfig(data=4, model=2, ring_negatives=args.ring),
-        MeshConfig(data=2, model=4, ring_negatives=args.ring),
+        MeshConfig(data=2, model=1, ring_negatives=args.ring,
+                   sparse_table_grads=args.sparse),
+        MeshConfig(data=4, model=1, ring_negatives=args.ring,
+                   sparse_table_grads=args.sparse),
+        MeshConfig(data=8, model=1, ring_negatives=args.ring,
+                   sparse_table_grads=args.sparse),
+        MeshConfig(data=4, model=2, ring_negatives=args.ring,
+                   sparse_table_grads=args.sparse),
+        MeshConfig(data=2, model=4, ring_negatives=args.ring,
+                   sparse_table_grads=args.sparse),
     ):
         n = mesh.data * mesh.model
         b_g = b_l * mesh.data

@@ -267,6 +267,15 @@ class MeshConfig:
     # requires global_negatives, incompatible with reward_model (which
     # needs the full score matrix anyway).
     ring_negatives: bool = False
+    # Cross-chip table gradients (explicit path): "auto" exchanges DEDUP'D
+    # (touched-row ids, grad rows) over `data` via all_gather + local
+    # scatter-add whenever that moves fewer wire bytes than the dense
+    # [V_shard, D] grad all-reduce; "on"/"off" force it.  A batch touches
+    # O(B·(1+H)) of V rows, so at production table sizes the dense psum is
+    # almost all zeros — this is the named fix for the 44%-efficiency wall
+    # in scripts/scaling_prediction.py (VERDICT r3 #2).  Decision is
+    # per-table and static (parallel.sparse_grads.sparse_exchange_wins).
+    sparse_table_grads: str = "auto"
 
 
 @dataclass(frozen=True)

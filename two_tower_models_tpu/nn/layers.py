@@ -109,8 +109,12 @@ def _lookup_fwd(table, ids, vocab, dtype_name):
     return jnp.take(table, ids, axis=0), ids
 
 
-def _lookup_bwd(vocab, dtype_name, ids, g):
-    dim = g.shape[-1]
+def scatter_add_rows(ids: jnp.ndarray, rows: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """out[v] = Σ_{n: ids[n]==v} rows[n], out f32 [vocab, D].  Routes through
+    the O(updates) Pallas kernel inside its validated table-size window on
+    TPU (XLA's scatter-add costs O(vocab) — BASELINE.md), XLA elsewhere.
+    Out-of-range ids are dropped on both routes (usable as pad sentinels)."""
+    dim = rows.shape[-1]
     if (
         _scatter_kernel_enabled
         and _SCATTER_KERNEL_MIN_ROWS <= vocab < _SCATTER_KERNEL_MAX_ROWS
@@ -118,15 +122,18 @@ def _lookup_bwd(vocab, dtype_name, ids, g):
     ):
         from two_tower_models_tpu.ops.pallas.scatter_add import rows_scatter_add
 
-        dtable = rows_scatter_add(
-            ids.reshape(-1), g.reshape(-1, dim).astype(jnp.float32), vocab
+        return rows_scatter_add(
+            ids.reshape(-1), rows.reshape(-1, dim).astype(jnp.float32), vocab
         )
-    else:
-        dtable = (
-            jnp.zeros((vocab, dim), jnp.float32)
-            .at[ids.reshape(-1)]
-            .add(g.reshape(-1, dim).astype(jnp.float32))
-        )
+    return (
+        jnp.zeros((vocab, dim), jnp.float32)
+        .at[ids.reshape(-1)]
+        .add(rows.reshape(-1, dim).astype(jnp.float32))
+    )
+
+
+def _lookup_bwd(vocab, dtype_name, ids, g):
+    dtable = scatter_add_rows(ids, g, vocab)
     return dtable.astype(jnp.dtype(dtype_name)), None
 
 

@@ -25,7 +25,9 @@ layout; B_l = per-chip batch, B_g = global batch, n_d/n_m = mesh axes):
     reduce_scatter [B_g, DI] -> [B_l, DI]  d(negatives)      (data axis)
     reduce_scatter [B_g]     -> [B_l]      d(nuv gather)     (data axis)
   gradient reduction (parallel/train_step.py reduce_grad)
-    psum    every leaf: replicated bytes + per-chip table-shard bytes (data)
+    psum    replicated leaves (data); per-table [V_shard, D] psum OR the
+            sparse (ids, rows) all_gather exchange when it moves fewer
+            bytes (parallel.sparse_grads — MeshConfig.sparse_table_grads)
     pmean   replicated leaves only                            (model axis)
   (+ ~6 scalar psums for loss/metrics — counted as one 24-byte lump)
 
@@ -206,13 +208,38 @@ def step_collectives(
         add("nuv:d(gather)", "reduce_scatter", "data", n_d, n_d * b_l * f32)
 
     # --- gradient reduction ---
+    # Table grads over `data`: dense [V_shard, D] all-reduce OR the sparse
+    # (ids, rows) all_gather exchange (parallel.sparse_grads, VERDICT r3 #2)
+    # — decision mirrors sparse_table_grad_names exactly (same formula;
+    # consistency asserted in tests/test_sparse_grads.py).
+    from two_tower_models_tpu.parallel.sparse_grads import (
+        sparse_exchange_wins,
+        touched_id_counts,
+    )
+
     rep, tab, tp = param_byte_split(model_cfg, mesh_cfg)
     if n_d > 1:
         add("grads:psum(replicated+tp)", "all_reduce", "data", n_d, rep + tp)
-        if n_m > 1:
-            add("grads:psum(table shards)", "all_reduce", "data", n_d, tab)
-        else:
-            add("grads:psum(tables)", "all_reduce", "data", n_d, tab)
+        counts = touched_id_counts(model_cfg, b_l)
+        tables = {
+            "user_id_table": (model_cfg.user_id_hash_size, du),
+            "item_id_table": (model_cfg.item_id_hash_size, di),
+        }
+        mode = mesh_cfg.sparse_table_grads
+        for name, (v, d) in tables.items():
+            v_shard = v // max(n_m, 1)
+            sparse = mode == "on" or (
+                mode == "auto"
+                and sparse_exchange_wins(counts[name], v_shard, d, n_d)
+            )
+            if sparse:
+                add(f"grads:sparse_ids({name})", "all_gather", "data", n_d,
+                    counts[name] * 4)
+                add(f"grads:sparse_rows({name})", "all_gather", "data", n_d,
+                    counts[name] * d * f32)
+            else:
+                add(f"grads:psum({name})", "all_reduce", "data", n_d,
+                    v_shard * d * f32)
     if n_m > 1:
         add("grads:pmean(replicated)", "all_reduce", "model", n_m, rep)
 

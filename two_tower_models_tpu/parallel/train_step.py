@@ -556,16 +556,37 @@ def make_sharded_train_step(
         # shard-local grad).  Replicated leaves' grads are identical across
         # 'model' (replicated params x replicated activations), so pmean
         # collapses the duplicates.
+        #
+        # Table grads over 'data' go SPARSE when that moves fewer bytes
+        # (MeshConfig.sparse_table_grads): the batch touches O(B·(1+H)) of
+        # V_shard rows, so the dense [V_shard, D] all-reduce is mostly
+        # zeros at production table sizes (parallel.sparse_grads).
         from two_tower_models_tpu.parallel.sharding import (
             _path_parts,
             _tp_mlp_spec,
         )
+        from two_tower_models_tpu.parallel.sparse_grads import (
+            sparse_grad_exchange,
+            sparse_table_grad_names,
+            table_touched_ids,
+        )
+
+        sparse_names = sparse_table_grad_names(
+            model_cfg, mesh_cfg, batch, state.params
+        )
+        ids_map = table_touched_ids(model_cfg, batch) if sparse_names else {}
 
         def reduce_grad(path, g):
             parts = _path_parts(path)
+            hit = set(parts) & set(_SHARDED_TABLES)
+            if hit:
+                (name,) = hit
+                if name in sparse_names:
+                    return sparse_grad_exchange(
+                        g, ids_map[name], DATA_AXIS, MODEL_AXIS
+                    )
+                return jax.lax.psum(g, DATA_AXIS)
             g = jax.lax.psum(g, DATA_AXIS)
-            if set(parts) & set(_SHARDED_TABLES):
-                return g
             if mesh_cfg.tower_tp:
                 tp_spec = _tp_mlp_spec(parts)
                 if tp_spec is not None and tp_spec != P():

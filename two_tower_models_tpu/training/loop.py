@@ -482,6 +482,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ring_negatives", action="store_true",
                    help="flash-style ppermute ring for the global-negative "
                         "softmax (O(B_local) memory at any global batch)")
+    p.add_argument("--sparse_table_grads", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="cross-chip table grads as a dedup'd (ids, rows) "
+                        "all_gather instead of the dense [V_shard, D] psum "
+                        "when it moves fewer bytes (parallel.sparse_grads)")
     p.add_argument("--gspmd", action="store_true",
                    help="multi-chip via GSPMD (jit + NamedSharding) instead of explicit shard_map collectives")
     p.add_argument(
@@ -535,6 +540,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         explicit_collectives=not args.gspmd,
         tower_tp=args.tower_tp,
         ring_negatives=args.ring_negatives,
+        sparse_table_grads=args.sparse_table_grads,
     )
     return ExperimentConfig(model=model, data=data, train=train_c, mesh=mesh)
 
