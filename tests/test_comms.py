@@ -215,3 +215,44 @@ def test_predict_step_time_monotone():
     assert 0 < base["efficiency"] <= 1
     assert fast["efficiency"] > base["efficiency"]
     assert base["wire_bytes_per_chip"] > 0
+
+
+@requires_8
+def test_predicted_bytes_match_hlo_ring_with_corrections():
+    """ring_negatives + mixed_negatives + logQ: the corr-block ppermutes
+    (one fwd, one bwd hop of [B_l] f32) must be accounted, and the predicted
+    bytes still match the compiled program."""
+    import dataclasses
+
+    from two_tower_models_tpu.config import DataConfig
+    from two_tower_models_tpu.training.data import (
+        extend_batch,
+        gather_batch,
+        make_synthetic_data,
+    )
+
+    cfg = dataclasses.replace(CFG, mixed_negatives=8, logq_correction=True)
+    mesh_cfg = MeshConfig(data=4, model=2, ring_negatives=True)
+    mesh = make_mesh(mesh_cfg)
+    tcfg = TrainConfig(batch_size=64, donate_state=False)
+    state = create_train_state(jax.random.key(0), cfg, tcfg, pack=False)
+    sharded = shard_state(state, mesh)
+    data = make_synthetic_data(
+        DataConfig(
+            num_samples=128, num_users=cfg.user_id_hash_size,
+            num_items=cfg.item_id_hash_size, feature_dim=8,
+            history_len=cfg.history_len, num_tasks=2,
+        )
+    )
+    batch = extend_batch(
+        cfg, data, gather_batch(data, jnp.arange(64)), jax.random.key(2)
+    )
+    step = make_sharded_train_step(cfg, tcfg, mesh, mesh_cfg)
+    hlo = step.build(sharded, batch).lower(sharded, batch).compile().as_text()
+    actual = hlo_collective_bytes(hlo, mesh)
+    predicted = predicted_hlo_bytes(
+        step_collectives(cfg, mesh_cfg, global_batch=64)
+    )
+    for key in set(actual) | set(predicted):
+        a, p = actual.get(key, 0), predicted.get(key, 0)
+        assert abs(a - p) <= max(64, 0.02 * max(a, p)), (key, a, p, actual, predicted)

@@ -188,10 +188,9 @@ def test_parity_path_untouched():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
-def test_mesh_paths_support_extension_ring_raises():
+def test_mesh_paths_support_extension():
     """Both mesh steps (explicit shard_map and GSPMD) train with the extended
-    pool and match the single-chip loss on the same batch; ring_negatives
-    raises (corrections would have to travel with the blocks)."""
+    pool and match the single-chip loss on the same batch."""
     from two_tower_models_tpu.config import MeshConfig
     from two_tower_models_tpu.parallel.mesh import make_mesh
     from two_tower_models_tpu.parallel.sharding import shard_state
@@ -203,10 +202,6 @@ def test_mesh_paths_support_extension_ring_raises():
     mesh_cfg = MeshConfig(data=4, model=2)
     mesh = make_mesh(mesh_cfg)
     tcfg = TrainConfig(batch_size=16)
-    with pytest.raises(NotImplementedError, match="ring"):
-        make_sharded_train_step(
-            CFG, tcfg, mesh, MeshConfig(data=4, model=2, ring_negatives=True)
-        )
 
     data = make_synthetic_data(
         DataConfig(num_samples=64, num_items=32, num_users=16)

@@ -101,17 +101,25 @@ def _plookup_fwd(packed, ids, dim, dtype_name):
     return _packed_gather(packed, ids, dim), (ids, packed.shape)
 
 
-def _plookup_bwd(dim, dtype_name, res, g):
-    ids, pshape = res
-    rows_p, width = pshape
+def packed_rows_scatter_add(
+    ids: jnp.ndarray,  # [N] LOGICAL row ids (may repeat / be out of range)
+    rows: jnp.ndarray,  # [N, dim] logical-row values
+    rows_p: int,  # physical rows of the packed output
+    width: int,  # physical lane width (P * dim)
+) -> jnp.ndarray:
+    """out f32 [rows_p, width] with rows[n] added into logical row ids[n]'s
+    lane block.  One_hot widening keeps the other lanes exact zeros, so sums
+    are bit-identical to the plain-layout scatter; out-of-range logical ids
+    map to out-of-range physical rows and are dropped by both routes."""
+    dim = rows.shape[-1]
     p = width // dim
     ids_flat = ids.reshape(-1)
-    gf = g.reshape(-1, dim).astype(jnp.float32)
-    # widen each gradient into its lane block: one_hot picks the block, the
-    # other lanes are exact zeros (adding them is exact)
+    gf = rows.reshape(-1, dim).astype(jnp.float32)
     oh = jax.nn.one_hot(ids_flat % p, p, dtype=jnp.float32)  # [N, P]
     g128 = (oh[:, :, None] * gf[:, None, :]).reshape(-1, width)
-    prow = ids_flat // p
+    prow = jnp.where(
+        (ids_flat >= 0) & (ids_flat < rows_p * p), ids_flat // p, rows_p
+    )
     # The packed layout neutralizes the layout-infection issue, so the O(N)
     # Pallas scatter applies with NO upper size cap; XLA's O(V) scatter
     # stays for small tables (where it wins) and non-TPU backends.
@@ -122,9 +130,14 @@ def _plookup_bwd(dim, dtype_name, res, g):
     ):
         from two_tower_models_tpu.ops.pallas.scatter_add import rows_scatter_add
 
-        dpacked = rows_scatter_add(prow, g128, rows_p)
-    else:
-        dpacked = jnp.zeros((rows_p, width), jnp.float32).at[prow].add(g128)
+        return rows_scatter_add(prow, g128, rows_p)
+    return jnp.zeros((rows_p, width), jnp.float32).at[prow].add(g128)
+
+
+def _plookup_bwd(dim, dtype_name, res, g):
+    ids, pshape = res
+    rows_p, width = pshape
+    dpacked = packed_rows_scatter_add(ids, g.reshape(-1, dim), rows_p, width)
     return dpacked.astype(jnp.dtype(dtype_name)), None
 
 

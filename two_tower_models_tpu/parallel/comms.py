@@ -146,6 +146,7 @@ def step_collectives(
 
     # --- sharded-table lookups over `model` (forward AND backward: the
     # transpose of psum is psum, of all_to_all is all_to_all) ---
+    b_extra = int(model_cfg.mixed_negatives)  # replicated MNS extras' lookups
     if n_m > 1:
         if lookup_strategy == "psum":
             for direction in ("", ":d"):
@@ -156,11 +157,15 @@ def step_collectives(
                         b_l * h * di * f32)
                 add(f"lookup:item_id{direction}", "all_reduce", "model", n_m,
                     b_l * di * f32)
+                if b_extra:
+                    add(f"lookup:neg_items{direction}", "all_reduce", "model",
+                        n_m, b_extra * di * f32)
         else:  # all_to_all: ids there (+mask), rows back; backward reverses rows
             for name, cnt, d in (
                 ("user_id", b_l, du),
                 ("history", b_l * h, di),
                 ("item_id", b_l, di),
+                ("neg_items", b_extra, di),
             ):
                 if cnt == 0:
                     continue
@@ -200,6 +205,18 @@ def step_collectives(
             "negatives:ring(bwd grad)", "collective_permute", "data", n_d,
             b_l * di * f32, executions=n_d,
         ))
+        if model_cfg.logq_correction:
+            # the [B_l] −logQ vector travels with its block: one extra f32
+            # hop in the forward scan and one in the backward recompute
+            # (parallel.ring_loss.ring_lse_corr)
+            out.append(Collective(
+                "negatives:ring(fwd corr)", "collective_permute", "data",
+                n_d, b_l * f32, executions=n_d,
+            ))
+            out.append(Collective(
+                "negatives:ring(bwd corr)", "collective_permute", "data",
+                n_d, b_l * f32, executions=n_d,
+            ))
     elif n_d > 1 and mesh_cfg.global_negatives:
         add("negatives:all_gather", "all_gather", "data", n_d, b_l * di * cb)
         add("negatives:d(gather)", "reduce_scatter", "data", n_d, n_d * b_l * di * cb)

@@ -17,6 +17,15 @@ B*D is modest (the retrieval regime: D <= a few hundred).
 psum — wins when the ``model`` axis is wide (psum moves n*B*D total,
 all_to_all moves ~2*B*D).  Capacity-bounded: each shard answers up to B ids
 per peer (exact here since every peer sends exactly its padded bucket).
+
+Both strategies accept 128-lane-PACKED shards (nn.packed_table: [V/(n·P),
+P·D] physical rows; pass the logical ``dim``): packing maps logical id v to
+physical row v // P, so a contiguous logical range shards as a contiguous
+physical range and the owner arithmetic works in LOGICAL rows throughout.
+Local gathers route through ``nn.packed_table.table_lookup`` (the custom-VJP
+dispatch), so the backward scatter-add uses the O(updates) Pallas kernel in
+its window on either layout instead of ``jnp.take``'s O(V_shard) XLA
+scatter.
 """
 
 from __future__ import annotations
@@ -24,27 +33,37 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from two_tower_models_tpu.nn.packed_table import table_lookup
+
+
+def _logical_rows(table_shard: jnp.ndarray, dim: int) -> int:
+    """Logical rows this shard holds (== physical rows unless packed)."""
+    return table_shard.shape[0] * (table_shard.shape[-1] // dim)
+
 
 def psum_lookup(
-    table_shard: jnp.ndarray,  # [V/n, D] — this shard's rows
+    table_shard: jnp.ndarray,  # [V/n, D] (or packed [V/(n·P), P·D])
     ids: jnp.ndarray,  # [B] global ids, replicated along the shard axis
     axis_name: str,
+    dim: int | None = None,  # logical embedding dim (defaults to lane width)
 ) -> jnp.ndarray:
-    """Masked local gather + psum.  Returns [B, D] on every shard."""
+    """Masked local gather + psum.  Returns [B, dim] on every shard."""
+    dim = dim or table_shard.shape[-1]
     shard = jax.lax.axis_index(axis_name)
-    v_local = table_shard.shape[0]
+    v_local = _logical_rows(table_shard, dim)
     local = ids - shard * v_local
     valid = (local >= 0) & (local < v_local)
     safe = jnp.where(valid, local, 0)
-    rows = jnp.take(table_shard, safe, axis=0)  # [B, D]
+    rows = table_lookup(table_shard, safe, dim)  # [B, dim]
     rows = jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
     return jax.lax.psum(rows, axis_name)
 
 
 def all_to_all_lookup(
-    table_shard: jnp.ndarray,  # [V/n, D]
+    table_shard: jnp.ndarray,  # [V/n, D] (or packed [V/(n·P), P·D])
     ids: jnp.ndarray,  # [B] global ids, replicated along the shard axis
     axis_name: str,
+    dim: int | None = None,  # logical embedding dim (defaults to lane width)
 ) -> jnp.ndarray:
     """Owner-bucketed all-to-all exchange.  Returns [B, D] on every shard.
 
@@ -57,9 +76,10 @@ def all_to_all_lookup(
       4. local gather answers them: [n, B, D].
       5. all_to_all back + unsort.
     """
+    dim = dim or table_shard.shape[-1]
     n = jax.lax.axis_size(axis_name)
     B = ids.shape[0]
-    v_local = table_shard.shape[0]
+    v_local = _logical_rows(table_shard, dim)
 
     owner = jnp.clip(ids // v_local, 0, n - 1)  # [B]
     order = jnp.argsort(owner, stable=True)  # positions sorted by owner
@@ -82,7 +102,7 @@ def all_to_all_lookup(
     # 4. answer with local rows.
     shard = jax.lax.axis_index(axis_name)
     local_idx = jnp.clip(recv - shard * v_local, 0, v_local - 1)
-    answers = jnp.take(table_shard, local_idx.reshape(-1), axis=0).reshape(
+    answers = table_lookup(table_shard, local_idx.reshape(-1), dim).reshape(
         n, B, -1
     )
     answers = jnp.where(recv_mask[:, :, None], answers, 0)
@@ -102,9 +122,10 @@ def sharded_embedding_lookup(
     ids: jnp.ndarray,
     axis_name: str,
     strategy: str = "psum",
+    dim: int | None = None,
 ) -> jnp.ndarray:
     if strategy == "psum":
-        return psum_lookup(table_shard, ids, axis_name)
+        return psum_lookup(table_shard, ids, axis_name, dim)
     if strategy == "all_to_all":
-        return all_to_all_lookup(table_shard, ids, axis_name)
+        return all_to_all_lookup(table_shard, ids, axis_name, dim)
     raise ValueError(f"unknown lookup strategy {strategy!r}")

@@ -39,7 +39,7 @@ from two_tower_models_tpu.parallel.sharding import param_pspecs
 from two_tower_models_tpu.parallel.train_step import (
     _item_tower,
     _user_tower,
-    require_plain_tables,
+    check_mesh_tables,
 )
 from two_tower_models_tpu.retrieval.mips import sharded_mips_topk
 
@@ -83,7 +83,7 @@ def make_sharded_refresh_fn(
         return _item_tower(params, model_cfg, ids, feats, lookup_strategy, tower_tp)
 
     def refresh(params, ids, feats):
-        require_plain_tables(params, model_cfg)
+        check_mesh_tables(params, model_cfg, mesh.shape[MODEL_AXIS])
         mapped = jax.shard_map(
             embed,
             mesh=mesh,
@@ -142,7 +142,7 @@ def make_sharded_recall_fn(
         return hits / jnp.maximum(total, 1)
 
     def run(params, corpus, batch, valid_count: int):
-        require_plain_tables(params, model_cfg)
+        check_mesh_tables(params, model_cfg, mesh.shape[MODEL_AXIS])
         batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
         mapped = jax.shard_map(
             lambda p, c, b: recall(p, c, b, valid_count),
@@ -190,7 +190,7 @@ def make_sharded_retrieval_fn(
         )
 
     def run(params, corpus, uid, ufeat, uhist, hlen, valid_count: int):
-        require_plain_tables(params, model_cfg)
+        check_mesh_tables(params, model_cfg, mesh.shape[MODEL_AXIS])
         # (uid, ufeat, uhist, hlen) as one replicated pytree: hlen may be
         # None (fixed-length histories), and tree_map drops absent leaves
         # from the spec exactly as the training Batch does.

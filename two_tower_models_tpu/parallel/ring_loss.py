@@ -124,3 +124,112 @@ def _ring_lse_bwd(axis_name, residuals, d_lse):
 
 
 ring_lse.defvjp(_ring_lse_fwd, _ring_lse_bwd)
+
+
+# --- logQ-corrected ring (VERDICT r3 #4) -----------------------------------
+#
+# The sampled-softmax logQ correction subtracts each candidate's log proposal
+# probability from its logit (models.two_tower._extended_ce).  Over the ring
+# the per-chip [B_l] correction vector simply TRAVELS WITH its item block —
+# one extra [B_l] f32 ppermute per hop — and each hop scores
+# u·blockᵀ − corr_block.  Corrections are data (no gradient), so the
+# backward recomputes the corrected probabilities from the travelling pair
+# and is otherwise identical to the uncorrected ring.  Mixed-negative EXTRAS
+# don't enter the ring at all: they are replicated, so their corrected lse
+# is a local [B_l, B'] computation folded in with one logaddexp
+# (parallel.train_step.sharded_loss_fn).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ring_lse_corr(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    corr: jnp.ndarray,  # [B_local] f32 — this chip's items' −log Q*, travels with the block
+    axis_name: str,
+):
+    """logsumexp_j (<user_b, item_j> − corr_j) with j spanning the GLOBAL
+    batch, at O(B_local) memory.  Must run inside shard_map; returns
+    [B_local] f32."""
+    lse, _ = _ring_corr_fwd(user_emb, item_emb, corr, axis_name)
+    return lse
+
+
+def _ring_corr_fwd(user_emb, item_emb, corr, axis_name):
+    n, perm = _ring_perm(axis_name)
+    b_l = user_emb.shape[0]
+    corr = corr.astype(jnp.float32)
+
+    def step(carry, _):
+        block, cblock, m, s = carry
+        scores = (
+            jax.lax.dot_general(
+                user_emb, block, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - cblock[None, :]
+        )  # [B_l, B_l]
+        bm = jnp.max(scores, axis=-1)
+        m_new = jnp.maximum(m, bm)
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(scores - m_new[:, None]), axis=-1
+        )
+        block = jax.lax.ppermute(block, axis_name, perm)
+        cblock = jax.lax.ppermute(cblock, axis_name, perm)
+        return (block, cblock, m_new, s), None
+
+    init = (
+        item_emb,
+        corr,
+        jnp.full((b_l,), -jnp.inf, jnp.float32),
+        jnp.zeros((b_l,), jnp.float32),
+    )
+    (block, cblock, m, s), _ = jax.lax.scan(step, init, None, length=n)
+    lse = m + jnp.log(s)
+    # after n hops block AND cblock are home again (copy-elision residuals)
+    return lse, (user_emb, block, cblock, lse)
+
+
+def _ring_corr_bwd(axis_name, residuals, d_lse):
+    user_emb, item_emb, corr, lse = residuals
+    n, perm = _ring_perm(axis_name)
+    coeff = d_lse.astype(jnp.float32)
+
+    def step(carry, _):
+        block, cblock, gblock, d_user = carry
+        scores = (
+            jax.lax.dot_general(
+                user_emb, block, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            - cblock[None, :]
+        )
+        p = jnp.exp(scores - lse[:, None]) * coeff[:, None]
+        pc = p.astype(block.dtype)
+        d_user = d_user + jax.lax.dot_general(
+            pc, block, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gblock = gblock + jax.lax.dot_general(
+            pc, user_emb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        block = jax.lax.ppermute(block, axis_name, perm)
+        cblock = jax.lax.ppermute(cblock, axis_name, perm)
+        gblock = jax.lax.ppermute(gblock, axis_name, perm)
+        return (block, cblock, gblock, d_user), None
+
+    init = (
+        item_emb,
+        corr,
+        jnp.zeros(item_emb.shape, jnp.float32),
+        jnp.zeros(user_emb.shape, jnp.float32),
+    )
+    (_, _, gblock, d_user), _ = jax.lax.scan(step, init, None, length=n)
+    return (
+        d_user.astype(user_emb.dtype),
+        gblock.astype(item_emb.dtype),
+        jnp.zeros_like(corr),  # corrections are data, not params
+    )
+
+
+ring_lse_corr.defvjp(_ring_corr_fwd, _ring_corr_bwd)

@@ -91,34 +91,45 @@ def sparse_table_grad_names(
 ) -> set:
     """Tables whose data-axis grad reduction should run sparse, per
     ``MeshConfig.sparse_table_grads`` ("auto"/"on"/"off").  Shapes here are
-    the PER-CHIP ones (call inside shard_map) or consistent logical ones
-    (call from comms accounting with v_shard = V / n_model)."""
+    the PER-CHIP ones (call inside shard_map); packed leaves compare on
+    LOGICAL rows (the exchange moves logical [U, D] rows either way)."""
     mode = mesh_cfg.sparse_table_grads
     if mode == "off" or mesh_cfg.data <= 1:
         return set()
     if mode not in ("auto", "on"):
         raise ValueError(f"sparse_table_grads must be auto|on|off, got {mode!r}")
     ids_map = table_touched_ids(model_cfg, batch)
+    dims = {
+        "user_id_table": model_cfg.user_id_embedding_dim,
+        "item_id_table": model_cfg.item_id_embedding_dim,
+    }
     out = set()
     for name, ids in ids_map.items():
-        table = params[name]
+        table, dim = params[name], dims[name]
+        pack = table.shape[-1] // dim
         if mode == "on" or sparse_exchange_wins(
-            ids.size, table.shape[0], table.shape[1], mesh_cfg.data
+            ids.size, table.shape[0] * pack, dim, mesh_cfg.data
         ):
             out.add(name)
     return out
 
 
 def sparse_grad_exchange(
-    g_dense: jnp.ndarray,  # [V_shard, D] f32 — this chip's local table grad
+    g_dense: jnp.ndarray,  # this chip's local table grad (plain or packed)
     ids: jnp.ndarray,  # [U] global ids touched by this chip's batch
     data_axis: str,
     model_axis: str,
+    dim: int | None = None,  # logical embedding dim (packed leaves)
 ) -> jnp.ndarray:
     """Equivalent of ``psum(g_dense, data_axis)`` for a row-sharded table
     whose per-chip grad is supported on ``ids``.  Runs inside shard_map with
-    both mesh axes bound."""
-    v_shard, dim = g_dense.shape
+    both mesh axes bound.  Packed leaves ([V_s/P, P·D], nn.packed_table)
+    exchange LOGICAL [U, D] rows — same wire bytes as plain storage — and
+    scatter back through the lane-block widening (exact zeros, bit-identical
+    sums)."""
+    dim = dim or g_dense.shape[-1]
+    pack = g_dense.shape[-1] // dim
+    v_shard = g_dense.shape[0] * pack  # logical rows this shard owns
     offset = jax.lax.axis_index(model_axis) * v_shard
 
     s = jnp.sort(ids.reshape(-1))
@@ -129,11 +140,25 @@ def sparse_grad_exchange(
     owned = (local >= 0) & (local < v_shard)
     keep = first & owned
     safe = jnp.where(keep, local, 0).astype(jnp.int32)
-    rows = jnp.take(g_dense, safe, axis=0) * keep[:, None].astype(g_dense.dtype)
+    if pack == 1:
+        rows = jnp.take(g_dense, safe, axis=0)
+    else:
+        from two_tower_models_tpu.nn.packed_table import _packed_gather
+
+        rows = _packed_gather(g_dense, safe, dim)
+    rows = rows * keep[:, None].astype(g_dense.dtype)
     # dropped slots: zero row AND out-of-range sentinel id (both scatter
     # routes drop out-of-range ids — belt and braces)
     ex_ids = jnp.where(keep, safe, v_shard).astype(jnp.int32)
 
     gids = jax.lax.all_gather(ex_ids, data_axis, tiled=True)  # [n_d·U]
     grows = jax.lax.all_gather(rows, data_axis, tiled=True)  # [n_d·U, D]
-    return scatter_add_rows(gids, grows, v_shard).astype(g_dense.dtype)
+    if pack == 1:
+        out = scatter_add_rows(gids, grows, v_shard)
+    else:
+        from two_tower_models_tpu.nn.packed_table import packed_rows_scatter_add
+
+        out = packed_rows_scatter_add(
+            gids, grows, g_dense.shape[0], g_dense.shape[-1]
+        )
+    return out.astype(g_dense.dtype)

@@ -52,35 +52,56 @@ from two_tower_models_tpu.training.state import TrainState, make_optimizer
 _SHARDED_TABLES = ("user_id_table", "item_id_table")
 
 
-def require_plain_tables(params, cfg: "ModelConfig"):
-    """The mesh path row-shards plain [V, D] tables; a 128-lane-packed leaf
-    (nn.packed_table, the single-chip big-table layout) would silently
-    misroute every id >= V/P through the shard ranges.  create_train_state
-    packs by default above pack_tables_min_rows, so reject packed leaves at
-    every mesh entry instead of trusting call sites to remember pack=False."""
-    dims = {
+def _table_dims(cfg: "ModelConfig"):
+    return {
         "user_id_table": cfg.user_id_embedding_dim,
         "item_id_table": cfg.item_id_embedding_dim,
     }
-    for name, dim in dims.items():
+
+
+def require_plain_tables(params, cfg: "ModelConfig"):
+    """The GSPMD path partitions the SINGLE-CHIP model, whose packed-table
+    gather under the SPMD partitioner is untested — reject packed leaves
+    there.  (The explicit shard_map path row-shards packed storage natively:
+    ``check_mesh_tables``.)"""
+    for name, dim in _table_dims(cfg).items():
         t = params.get(name)
         if t is not None and t.shape[-1] != dim:
             raise ValueError(
                 f"{name} has shape {tuple(t.shape)} but logical dim {dim} — "
-                "it is 128-lane-packed storage, which the mesh path cannot "
-                "row-shard. Build the state with create_train_state(..., "
-                "pack=False) (tables row-shard across chips instead) or "
-                "unpack via nn.packed_table.unpack_table before shard_state."
+                "it is 128-lane-packed storage, which the GSPMD path cannot "
+                "partition. Build the state with create_train_state(..., "
+                "pack=False), or use the explicit shard_map path "
+                "(explicit_collectives=True), which shards packed layouts."
             )
 
 
-def _lookup(params, name, ids, strategy):
+def check_mesh_tables(params, cfg: "ModelConfig", n_model: int):
+    """Explicit-path validation: each table (plain [V, D] or 128-lane-packed
+    [Vp/P, P·D], nn.packed_table) must split evenly over the model axis.
+    Packed shards stay contiguous in LOGICAL rows because id v lives in
+    physical row v // P — the owner arithmetic in parallel.embedding works
+    unchanged."""
+    for name, dim in _table_dims(cfg).items():
+        t = params.get(name)
+        if t is None:
+            continue
+        if t.shape[0] % n_model:
+            raise ValueError(
+                f"{name} has {t.shape[0]} physical rows, not divisible by "
+                f"the model axis ({n_model}); pad the table or change the "
+                "mesh (create_train_state(..., model_shards=...) skips "
+                "packing when the packed shape wouldn't divide)"
+            )
+
+
+def _lookup(params, name, ids, strategy, dim=None):
     """Embedding lookup routed through the model-axis exchange for sharded
-    tables, local take for replicated ones."""
+    tables (plain or 128-lane-packed), local take for replicated ones."""
     table = params[name]
     if name in _SHARDED_TABLES:
         flat = ids.reshape(-1)
-        out = sharded_embedding_lookup(table, flat, MODEL_AXIS, strategy)
+        out = sharded_embedding_lookup(table, flat, MODEL_AXIS, strategy, dim)
         return out.reshape(*ids.shape, out.shape[-1])
     return jnp.take(table, ids, axis=0)
 
@@ -109,11 +130,16 @@ def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, 
     """Returns (user_emb [B_local, DI], ranker_embs [B_local, NU, DI] | None) —
     mirrors two_tower.compute_user_embedding over the sharded lookup."""
     cd = cfg.cdtype
-    uid = _lookup(params, "user_id_table", user_id, strategy)
+    uid = _lookup(
+        params, "user_id_table", user_id, strategy, cfg.user_id_embedding_dim
+    )
     ufeat = _mlp(params["user_features_mlp"], user_features, cd, tp)
     parts = [uid, ufeat]
     if cfg.history_encoder is not None:
-        hist = _lookup(params, "item_id_table", user_history, strategy)
+        hist = _lookup(
+            params, "item_id_table", user_history, strategy,
+            cfg.item_id_embedding_dim,
+        )
         summary = history_encoder_apply(
             params["history_encoder"], hist, cfg.history_encoder, cd,
             lengths=hist_len,
@@ -131,7 +157,9 @@ def _user_tower(params, cfg: ModelConfig, user_id, user_features, user_history, 
 
 def _item_tower(params, cfg: ModelConfig, item_id, item_features, strategy, tp=False):
     cd = cfg.cdtype
-    iid = _lookup(params, "item_id_table", item_id, strategy)
+    iid = _lookup(
+        params, "item_id_table", item_id, strategy, cfg.item_id_embedding_dim
+    )
     ifeat = _mlp(params["item_features_mlp"], item_features, cd, tp)
     x = jnp.concatenate([iid, ifeat], axis=-1)
     return linear_apply(params["item_tower_head"], x, cd)
@@ -245,12 +273,16 @@ def sharded_loss_fn(
             params, cfg, batch.neg_item_id, batch.neg_item_features,
             lookup_strategy, tp,
         )  # [B', DI]
+    ilq_q = nlq_q = None  # compute-dtype-quantized correction pieces
     if batch.item_logq is not None or batch.neg_logq is not None:
         ilq = (
             jnp.zeros((b_local,), jnp.float32)
             if batch.item_logq is None
             else batch.item_logq.astype(jnp.float32)
         )
+        # corrections apply in the compute dtype on every route — see
+        # models.two_tower._extended_ce (keeps fused/plain bit-aligned)
+        ilq_q = ilq.astype(item_emb.dtype).astype(jnp.float32)
         gcorr = jax.lax.all_gather(ilq, DATA_AXIS, tiled=True) if gathered else ilq
         if neg_emb is not None:
             nlq = (
@@ -258,17 +290,9 @@ def sharded_loss_fn(
                 if batch.neg_logq is None
                 else batch.neg_logq.astype(jnp.float32)
             )
+            nlq_q = nlq.astype(item_emb.dtype).astype(jnp.float32)
             gcorr = jnp.concatenate([gcorr, nlq])
-        # corrections apply in the compute dtype on every route — see
-        # models.two_tower._extended_ce (keeps fused/plain bit-aligned)
         corr = gcorr.astype(item_emb.dtype).astype(jnp.float32)
-    extended = neg_emb is not None or corr is not None
-    if extended and use_ring:
-        raise NotImplementedError(
-            "mixed_negatives / logq_correction are not plumbed through "
-            "ring_negatives (corrections would have to travel with the "
-            "blocks) — use the all_gather path (ring_negatives=False)"
-        )
     pool = (
         negatives
         if neg_emb is None
@@ -314,9 +338,25 @@ def sharded_loss_fn(
     elif use_ring:
         # Flash-style ppermute ring: the [B_global, DI] pool never
         # materializes (parallel.ring_loss) — the at-scale denominator.
-        from two_tower_models_tpu.parallel.ring_loss import ring_lse
+        # logQ corrections travel WITH the blocks (one extra [B_l] f32 hop);
+        # replicated mixed-negative extras fold in as a LOCAL corrected lse
+        # via one logaddexp (lse over a disjoint union of candidate pools).
+        from two_tower_models_tpu.parallel.ring_loss import (
+            ring_lse,
+            ring_lse_corr,
+        )
 
-        lse = ring_lse(user_emb, item_emb, DATA_AXIS)
+        if ilq_q is not None:
+            lse = ring_lse_corr(user_emb, item_emb, ilq_q, DATA_AXIS)
+        else:
+            lse = ring_lse(user_emb, item_emb, DATA_AXIS)
+        if neg_emb is not None:
+            neg_scores = jnp.dot(
+                user_emb, neg_emb.T, preferred_element_type=jnp.float32
+            )  # [B_l, B']
+            if nlq_q is not None:
+                neg_scores = neg_scores - nlq_q[None, :]
+            lse = jnp.logaddexp(lse, jax.nn.logsumexp(neg_scores, axis=-1))
     elif cfg.fused_loss:
         # Flash-style kernel: the [B_local, B_global(+B')] score matrix never
         # reaches HBM (ops.pallas.fused_softmax.fused_lse).  Corrections fold
@@ -448,6 +488,7 @@ def make_gspmd_train_step(
 
         # shardings derive from the state's pytree, known at first call
         if "fn" not in compiled:
+            require_plain_tables(state.params, model_cfg)
             tp = bool(mesh_cfg and mesh_cfg.tower_tp)
             to_sharding = lambda s: NamedSharding(mesh, s)
             state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state, tp))
@@ -527,14 +568,6 @@ def make_sharded_train_step(
             "ring_negatives shares negatives across the data axis; it "
             "requires global_negatives=True"
         )
-    if (model_cfg.mixed_negatives or model_cfg.logq_correction) and (
-        mesh_cfg.ring_negatives
-    ):
-        raise NotImplementedError(
-            "mixed_negatives / logq_correction are not plumbed through "
-            "ring_negatives (corrections would have to travel with the "
-            "blocks) — use the all_gather path (ring_negatives=False)"
-        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):
@@ -583,7 +616,8 @@ def make_sharded_train_step(
                 (name,) = hit
                 if name in sparse_names:
                     return sparse_grad_exchange(
-                        g, ids_map[name], DATA_AXIS, MODEL_AXIS
+                        g, ids_map[name], DATA_AXIS, MODEL_AXIS,
+                        _table_dims(model_cfg)[name],
                     )
                 return jax.lax.psum(g, DATA_AXIS)
             g = jax.lax.psum(g, DATA_AXIS)
@@ -656,7 +690,7 @@ def make_sharded_train_step(
 
     def step(state: TrainState, batch: Batch):
         if "fn" not in _cache:
-            require_plain_tables(state.params, model_cfg)
+            check_mesh_tables(state.params, model_cfg, mesh.shape[MODEL_AXIS])
             _cache["fn"] = build(state, batch)
         return _cache["fn"](state, batch)
 

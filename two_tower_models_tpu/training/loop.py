@@ -99,9 +99,13 @@ def _train_inner(
         data_cfg, structured=data_cfg.structured, label_cols=label_cols
     )
     mesh_cfg = exp.mesh
+    on_mesh = mesh_cfg.data * mesh_cfg.model > 1
     state = create_train_state(
         jax.random.key(train_cfg.seed), model_cfg, train_cfg,
-        pack=mesh_cfg.data * mesh_cfg.model == 1,  # mesh path row-shards instead
+        # big tables pack on the single chip AND on the explicit shard_map
+        # mesh (row-sharded packed storage); only GSPMD needs plain layout
+        pack=not (on_mesh and not mesh_cfg.explicit_collectives),
+        model_shards=mesh_cfg.model if on_mesh else 1,
     )
     mesh = None
     if mesh_cfg.data * mesh_cfg.model > 1:

@@ -30,10 +30,24 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(train_cfg.learning_rate)
 
 
-def maybe_pack_tables(params: Dict, model_cfg: ModelConfig, train_cfg: TrainConfig) -> Dict:
+def maybe_pack_tables(
+    params: Dict,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    model_shards: int = 1,
+) -> Dict:
     """Swap big id tables to 128-lane-packed storage (nn.packed_table) when
-    eligible.  Numerics-neutral; model code dispatches on the leaf layout."""
-    from two_tower_models_tpu.nn.packed_table import pack_factor, pack_table
+    eligible.  Numerics-neutral; model code dispatches on the leaf layout.
+    On a mesh (``model_shards`` > 1) a table packs only if its packed
+    PHYSICAL rows split evenly over the model axis — packing maps logical id
+    v to physical row v // P, so each shard's physical range stays a
+    contiguous logical range and the explicit lookup exchange works
+    unchanged (parallel.embedding)."""
+    from two_tower_models_tpu.nn.packed_table import (
+        pack_factor,
+        pack_table,
+        packed_shape,
+    )
 
     if not train_cfg.pack_tables:
         return params
@@ -43,6 +57,8 @@ def maybe_pack_tables(params: Dict, model_cfg: ModelConfig, train_cfg: TrainConf
         ("item_id_table", model_cfg.item_id_hash_size, model_cfg.item_id_embedding_dim),
     ):
         if vocab >= train_cfg.pack_tables_min_rows and pack_factor(dim) > 1:
+            if packed_shape(vocab, dim)[0] % model_shards:
+                continue  # would not row-shard evenly; keep plain storage
             out[name] = pack_table(out[name])
     return out
 
@@ -52,15 +68,18 @@ def create_train_state(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     pack: bool = True,
+    model_shards: int = 1,
 ) -> TrainState:
-    """``pack=False`` keeps tables in plain [V, D] storage — required on the
-    mesh path (tables row-shard there).  The lazy-Adam path composes with
+    """``pack=False`` keeps tables in plain [V, D] storage (required on the
+    GSPMD mesh path; the explicit shard_map path row-shards packed storage —
+    pass ``model_shards`` = the model-axis size so packing skips tables whose
+    packed shape wouldn't split evenly).  The lazy-Adam path composes with
     packing: minitables gather logically and the write-back streams through
     the Pallas in-place row writer (training.sparse_tables)."""
     k_params, k_rng = jax.random.split(key)
     params = init_params(k_params, model_cfg)
     if pack:
-        params = maybe_pack_tables(params, model_cfg, train_cfg)
+        params = maybe_pack_tables(params, model_cfg, train_cfg, model_shards)
     tx = make_optimizer(train_cfg)
     if train_cfg.lazy_table_adam:
         # Sparse tables keep their Adam moments outside optax (row-gathered
