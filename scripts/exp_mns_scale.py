@@ -37,7 +37,11 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 43])
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--skew", type=float, default=1.0)
-    p.add_argument("--arms", nargs="+", default=["plain", "logq", "mns+logq"])
+    p.add_argument("--arms", nargs="+",
+                   default=["plain", "logq", "mns+logq", "stream+mns+logq"],
+                   help="stream+mns+logq replaces the oracle catalog_logq "
+                        "with the ONLINE decayed-count estimator "
+                        "(training.freq_estimator)")
     p.add_argument("--eval_size", type=int, default=16384)
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes on CPU (correctness of the harness only)")
@@ -81,7 +85,7 @@ def main(argv=None):
             item_features_size=16,
             history_len=32,
             compute_dtype="bfloat16",
-            mixed_negatives=64 if arm == "mns+logq" else 0,
+            mixed_negatives=64 if arm.endswith("mns+logq") else 0,
             logq_correction=arm != "plain",
         )
         data = DataConfig(
@@ -101,6 +105,7 @@ def main(argv=None):
             learning_rate=3e-3,
             seed=seed,
             steps_per_dispatch=scale["spd"],
+            streaming_logq=arm.startswith("stream"),
         )
         return ExperimentConfig(model=model, data=data, train=train_c,
                                 mesh=MeshConfig())

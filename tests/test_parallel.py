@@ -548,33 +548,40 @@ def test_gspmd_step_parity_with_single_chip():
 
 
 @requires_8
-def test_mesh_path_rejects_packed_tables():
-    """create_train_state packs big tables by default (single-chip layout);
-    the mesh path row-shards plain [V, D] storage, and a packed leaf would
-    silently misroute every id >= V/P through the shard ranges.  Every mesh
-    entry must reject it loudly instead."""
-    import dataclasses
+def test_packed_table_mesh_routing():
+    """Round 4 lifted the packed-vs-mesh mutual exclusion (VERDICT r3 #3):
+    the EXPLICIT path row-shards packed [Vp/P, P·D] leaves natively (full
+    trajectory parity lives in tests/test_packed_mesh.py), while the GSPMD
+    path — which partitions the single-chip model and has no packed-gather
+    partitioning story — must still reject packed leaves loudly."""
+    from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
 
-    from two_tower_models_tpu.parallel.retrieval import make_sharded_refresh_fn
-
-    tcfg = TrainConfig(batch_size=16, pack_tables_min_rows=32)  # force packing
-    state = create_train_state(jax.random.key(0), CFG, tcfg)
-    assert state.params["user_id_table"].shape[-1] != CFG.user_id_embedding_dim
-
-    mesh = make_mesh(MeshConfig(data=2, model=2))
-    step = make_sharded_train_step(CFG, tcfg, mesh, MeshConfig(data=2, model=2))
+    tcfg = TrainConfig(
+        batch_size=16, pack_tables_min_rows=32, donate_state=False
+    )  # force packing
+    mesh_cfg = MeshConfig(data=2, model=2)
+    mesh = make_mesh(mesh_cfg)
     batch = make_batch(jax.random.key(1), CFG, 16)
-    with pytest.raises(ValueError, match="packed"):
-        step(state, batch)
 
-    refresh = make_sharded_refresh_fn(CFG, mesh)
-    ids = jnp.arange(32, dtype=jnp.int32)
-    feats = jnp.zeros((32, CFG.item_features_size))
-    with pytest.raises(ValueError, match="packed"):
-        refresh(state.params, ids, feats)
+    # explicit shard_map path: packed leaves accepted end to end
+    state = shard_state(
+        create_train_state(
+            jax.random.key(0), CFG, tcfg, model_shards=mesh_cfg.model
+        ),
+        mesh,
+    )
+    assert state.params["user_id_table"].shape[-1] != CFG.user_id_embedding_dim
+    step = make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg)
+    out_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
 
-    # pack=False (what training/loop.py passes on the mesh path) is accepted
+    # GSPMD path: packed leaves rejected with routing advice
+    gspmd = make_gspmd_train_step(CFG, tcfg, mesh)
+    with pytest.raises(ValueError, match="packed"):
+        gspmd(state, batch)
+
+    # pack=False (what training/loop.py passes on the GSPMD path) works
     state2 = create_train_state(jax.random.key(0), CFG, tcfg, pack=False)
     state2 = shard_state(state2, mesh)
-    out_state, metrics = step(state2, batch)
-    assert np.isfinite(float(metrics["loss"]))
+    out_state2, metrics2 = step(state2, batch)
+    assert np.isfinite(float(metrics2["loss"]))

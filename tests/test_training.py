@@ -387,3 +387,26 @@ def test_install_preemption_handler_sigterm():
         assert flag.is_set()
     finally:
         _signal.signal(_signal.SIGTERM, prev)
+
+
+def test_async_save_auto_probe(tmp_path, monkeypatch):
+    """async_save=None probes device->host bandwidth once and picks sync
+    below the threshold (the degraded-tunnel regime, VERDICT r3 #8);
+    explicit True/False bypass the probe entirely."""
+    import two_tower_models_tpu.training.checkpoint as ckpt
+
+    assert ckpt.device_to_host_mbps() > 0  # real probe runs and caches
+
+    monkeypatch.setattr(ckpt, "_d2h_mbps_cache", 1.6)  # tunnel-bad-day rate
+    slow = ckpt.CheckpointManager(str(tmp_path / "slow"))
+    assert slow.async_save is False
+    slow.close()
+
+    monkeypatch.setattr(ckpt, "_d2h_mbps_cache", 8000.0)  # healthy PCIe
+    fast = ckpt.CheckpointManager(str(tmp_path / "fast"))
+    assert fast.async_save is True
+    fast.close()
+
+    forced = ckpt.CheckpointManager(str(tmp_path / "forced"), async_save=True)
+    assert forced.async_save is True
+    forced.close()

@@ -346,11 +346,19 @@ class TrainConfig:
     # logical rows per physical lane row.  This makes the Pallas O(updates)
     # scatter-add layout-clean at ANY table size (round 2's T(8,128) layout
     # infection padded the whole Adam cluster 2x above 2^22 rows and OOMed —
-    # BASELINE.md).  Numerics-neutral; single-chip path only (the mesh path
-    # row-shards tables instead, and per-shard sizes stay in the unpacked
-    # kernel window).
+    # BASELINE.md).  Numerics-neutral.  Composes with the EXPLICIT mesh path
+    # (packed shards row-shard over the model axis, parallel.embedding);
+    # only GSPMD requires plain storage.
     pack_tables: bool = True
     pack_tables_min_rows: int = 1 << 22
+    # Streaming logQ (training.freq_estimator): estimate item sampling
+    # probability ONLINE from the training stream (decayed counts) instead
+    # of the synthetic data's whole-dataset oracle ``catalog_logq`` — the
+    # production-feed mode of ModelConfig.logq_correction (Yi et al. 2019).
+    # State rides in TrainState.logq_state (checkpointed, donated).
+    # logq_decay sets the effective window: ~1/(1-γ) batches.
+    streaming_logq: bool = False
+    logq_decay: float = 0.999
     # One-pass Pallas Adam (ops.pallas.fused_adam): same math/state as
     # optax.adam.  Off by default — measured ~1.1ms SLOWER end-to-end at the
     # bench config: the pallas_call acts as a fusion/scheduling barrier,

@@ -97,7 +97,13 @@ def state_pspecs(state, tower_tp: bool = False) -> "TrainStateSpecs":
         return P()
 
     opt_specs = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
-    return TrainState(step=P(), params=pspecs, opt_state=opt_specs, rng=P())
+    # streaming-logQ estimator state: replicated ([C] f32 counts — <=16 MB
+    # even at 4M catalog items; every chip updates it identically)
+    logq_specs = jax.tree_util.tree_map(lambda _: P(), state.logq_state)
+    return TrainState(
+        step=P(), params=pspecs, opt_state=opt_specs, rng=P(),
+        logq_state=logq_specs,
+    )
 
 
 def shard_state(state, mesh: Mesh, tower_tp: bool = False):

@@ -468,6 +468,7 @@ def make_gspmd_train_step(
             TrainState(
                 step=state.step + 1, params=params,
                 opt_state=opt_state, rng=state.rng,
+                logq_state=state.logq_state,
             ),
             metrics,
         )
@@ -632,7 +633,8 @@ def make_sharded_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=state.rng
+            step=state.step + 1, params=params, opt_state=opt_state,
+            rng=state.rng, logq_state=state.logq_state,
         )
         metrics = dict(metrics)
         metrics["loss"] = loss

@@ -137,7 +137,11 @@ def gather_batch(data: SyntheticRecData, idx: jnp.ndarray) -> Batch:
 
 
 def extend_batch(
-    model_cfg, data: SyntheticRecData, batch: Batch, rng: jax.Array
+    model_cfg,
+    data: SyntheticRecData,
+    batch: Batch,
+    rng: jax.Array,
+    catalog_logq: jnp.ndarray | None = None,
 ) -> Batch:
     """Fill the mixed-negative / logQ fields of a batch (jit-safe).
 
@@ -150,17 +154,23 @@ def extend_batch(
     1/(B+B') normalizer is a constant logit shift, invariant under softmax,
     and is dropped; with B' = 0 the formula reduces to the plain in-batch
     correction log p(j) + const.  No-op when both features are off — callers
-    on the parity path never see an rng split or extra fields."""
+    on the parity path never see an rng split or extra fields.
+
+    ``catalog_logq`` overrides ``data.catalog_logq`` — the hook for the
+    STREAMING frequency estimator (training.freq_estimator), which has no
+    whole-dataset oracle."""
     b_extra = int(model_cfg.mixed_negatives)
     if b_extra == 0 and not model_cfg.logq_correction:
         return batch
+    if catalog_logq is None:
+        catalog_logq = data.catalog_logq
     c = data.catalog_ids.shape[0]
     # stacked multi-step dispatch batches ([K, B] ids) get independent
     # negatives per step row: lead = (K,) there, () for a single step
     lead = batch.item_id.shape[:-1]
     b = batch.item_id.shape[-1]
     upd = {}
-    if model_cfg.logq_correction and data.catalog_logq is None:
+    if model_cfg.logq_correction and catalog_logq is None:
         raise ValueError(
             "logq_correction needs data.catalog_logq (log sampling "
             "probability per catalog item, aligned with catalog_ids)"
@@ -168,10 +178,10 @@ def extend_batch(
     if model_cfg.logq_correction:
         # log(B·p(j) + B'/C) per catalog item, computed stably in log space
         mix_logq = jnp.logaddexp(
-            jnp.log(float(b)) + data.catalog_logq,
-            jnp.full_like(data.catalog_logq, jnp.log(float(b_extra) / c))
+            jnp.log(float(b)) + catalog_logq,
+            jnp.full_like(catalog_logq, jnp.log(float(b_extra) / c))
             if b_extra
-            else jnp.full_like(data.catalog_logq, -jnp.inf),
+            else jnp.full_like(catalog_logq, -jnp.inf),
         )
     if b_extra > 0:
         slot = jax.random.randint(rng, lead + (b_extra,), 0, c)
@@ -201,6 +211,34 @@ def extend_batch_for_idx(
         return batch
     key = jax.random.fold_in(base_key, jnp.asarray(idx).reshape(-1)[0])
     return extend_batch(model_cfg, data, batch, key)
+
+
+def stream_extend_for_idx(
+    model_cfg,
+    train_cfg,
+    data: SyntheticRecData,
+    batch: Batch,
+    base_key: jax.Array,
+    idx: jnp.ndarray,
+    est,
+):
+    """extend_batch_for_idx with the STREAMING frequency estimator
+    (training.freq_estimator) supplying ``catalog_logq``: corrections use the
+    estimator's current estimate (cold start = uniform prior, a constant
+    logit shift softmax ignores), then the batch's items fold in.  With a
+    stacked [K, B] dispatch, all K rows share one pre-dispatch estimate and
+    fold in together — a ≤K-step staleness, negligible against the
+    estimator's ~1/(1−γ)-batch window.  Returns (batch, new_est)."""
+    from two_tower_models_tpu.training.freq_estimator import (
+        freq_log_prob,
+        freq_update,
+    )
+
+    override = freq_log_prob(est)
+    pos = jnp.searchsorted(data.catalog_ids, batch.item_id).astype(jnp.int32)
+    est = freq_update(est, pos, train_cfg.logq_decay)
+    key = jax.random.fold_in(base_key, jnp.asarray(idx).reshape(-1)[0])
+    return extend_batch(model_cfg, data, batch, key, override), est
 
 
 def epoch_batches(

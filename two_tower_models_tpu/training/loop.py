@@ -106,6 +106,7 @@ def _train_inner(
         # mesh (row-sharded packed storage); only GSPMD needs plain layout
         pack=not (on_mesh and not mesh_cfg.explicit_collectives),
         model_shards=mesh_cfg.model if on_mesh else 1,
+        catalog_size=data.catalog_ids.shape[0],
     )
     mesh = None
     if mesh_cfg.data * mesh_cfg.model > 1:
@@ -150,6 +151,14 @@ def _train_inner(
         _neg_base = jax.random.key(train_cfg.seed + 1789)
 
         if jax.process_count() > 1:
+            if train_cfg.streaming_logq:
+                raise NotImplementedError(
+                    "streaming_logq is single-host for now: the estimator "
+                    "update is deterministic per global batch so a "
+                    "replicated-lift extension is straightforward, but the "
+                    "host-local batch build path does not thread it yet — "
+                    "use the oracle catalog_logq on multihost"
+                )
             # Multi-host: the batch schedule is identical on every host
             # (pure function of seed), but each host materializes only ITS
             # rows and lifts them into a global P('data') array — host
@@ -181,26 +190,60 @@ def _train_inner(
                 return lambda s, d, idx: one(s, _to_global(d, idx))
 
         else:
-            if model_cfg.mixed_negatives or model_cfg.logq_correction:
-                # mesh path: negatives/logq attach where batches are built
-                # (both mesh steps consume the extended Batch); the key
-                # derivation stays inside jit — no device round trip
-                _gather = jax.jit(
-                    lambda d, idx: extend_batch_for_idx(
-                        model_cfg, d, gather_batch(d, idx), _neg_base, idx
+            extended = model_cfg.mixed_negatives or model_cfg.logq_correction
+            if extended and train_cfg.streaming_logq:
+                # streaming estimator on the mesh: the (small, replicated)
+                # estimator state hops out of TrainState for the batch-build
+                # jit and back in for the sharded step
+                from two_tower_models_tpu.training.data import (
+                    stream_extend_for_idx,
+                )
+
+                _gather_s = jax.jit(
+                    lambda d, idx, est: stream_extend_for_idx(
+                        model_cfg, train_cfg, d, gather_batch(d, idx),
+                        _neg_base, idx, est,
                     )
                 )
+
+                def _wrap(mesh_step):
+                    def fn(s, d, idx):
+                        batch, est = _gather_s(d, idx, s.logq_state)
+                        return mesh_step(s._replace(logq_state=est), batch)
+
+                    return fn
+
+                train_step = _wrap(_mesh_step)
+
+                def _make_single():
+                    return _wrap(
+                        _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
+                    )
+
             else:
-                _gather = gather
+                if extended:
+                    # mesh path: negatives/logq attach where batches are
+                    # built (both mesh steps consume the extended Batch); the
+                    # key derivation stays inside jit — no device round trip
+                    _gather = jax.jit(
+                        lambda d, idx: extend_batch_for_idx(
+                            model_cfg, d, gather_batch(d, idx), _neg_base, idx
+                        )
+                    )
+                else:
+                    _gather = gather
 
-            def train_step(s, d, idx):
-                # idx is [B] (single step) or [K, B] (multi-step dispatch);
-                # gather_batch fancy-indexing produces matching batch ranks.
-                return _mesh_step(s, _gather(d, idx))
+                def train_step(s, d, idx):
+                    # idx is [B] (single step) or [K, B] (multi-step
+                    # dispatch); gather_batch fancy-indexing produces
+                    # matching batch ranks.
+                    return _mesh_step(s, _gather(d, idx))
 
-            def _make_single():
-                one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
-                return lambda s, d, idx: one(s, _gather(d, idx))
+                def _make_single():
+                    one = _make_mesh_step(
+                        replace(train_cfg, steps_per_dispatch=1)
+                    )
+                    return lambda s, d, idx: one(s, _gather(d, idx))
 
     else:
         train_step = make_train_step(model_cfg, train_cfg)
@@ -459,6 +502,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="extra uniformly-sampled catalog negatives per batch (MNS)")
     p.add_argument("--logq_correction", action="store_true",
                    help="subtract each candidate's log sampling probability from its logit (sampled-softmax correction)")
+    p.add_argument("--streaming_logq", action="store_true",
+                   help="estimate item frequencies ONLINE from the training "
+                        "stream (decayed counts, training.freq_estimator) "
+                        "instead of the synthetic data's oracle catalog_logq")
+    p.add_argument("--logq_decay", type=float, default=0.999,
+                   help="streaming-estimator decay: effective window "
+                        "~1/(1-decay) batches")
     p.add_argument("--popularity_skew", type=float, default=0.0,
                    help="Zipf exponent for synthetic item engagement (0 = uniform)")
     p.add_argument("--variable_history", action="store_true",
@@ -530,6 +580,8 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
+        streaming_logq=args.streaming_logq,
+        logq_decay=args.logq_decay,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile_dir,

@@ -23,6 +23,9 @@ class TrainState(NamedTuple):
     params: Dict
     opt_state: Any
     rng: jax.Array
+    # streaming item-frequency estimator (training.freq_estimator), present
+    # only with TrainConfig.streaming_logq — None otherwise (absent leaf)
+    logq_state: Any = None
 
 
 def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
@@ -69,6 +72,7 @@ def create_train_state(
     train_cfg: TrainConfig,
     pack: bool = True,
     model_shards: int = 1,
+    catalog_size: int | None = None,
 ) -> TrainState:
     """``pack=False`` keeps tables in plain [V, D] storage (required on the
     GSPMD mesh path; the explicit shard_map path row-shards packed storage —
@@ -93,9 +97,27 @@ def create_train_state(
         opt_state = {"dense": tx.init(dense), "tables": init_table_moments(params)}
     else:
         opt_state = tx.init(params)
+    logq_state = None
+    if train_cfg.streaming_logq:
+        if not model_cfg.logq_correction:
+            raise ValueError(
+                "streaming_logq estimates frequencies FOR the logQ "
+                "correction — set ModelConfig.logq_correction too"
+            )
+        if catalog_size is None:
+            raise ValueError(
+                "streaming_logq needs catalog_size (the number of catalog "
+                "items the estimator tracks)"
+            )
+        from two_tower_models_tpu.training.freq_estimator import (
+            init_freq_estimator,
+        )
+
+        logq_state = init_freq_estimator(catalog_size)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=opt_state,
         rng=k_rng,
+        logq_state=logq_state,
     )

@@ -26,6 +26,33 @@ from two_tower_models_tpu.training.data import (
 from two_tower_models_tpu.training.state import TrainState, make_optimizer
 
 
+def _extend_and_track(model_cfg, train_cfg, state, data, batch):
+    """Mixed-negative / logQ batch extension + streaming-estimator advance.
+
+    Returns (batch, rng, logq_state).  With ``train_cfg.streaming_logq`` the
+    correction uses the estimator's CURRENT estimate (no lookahead: the
+    first batches see a uniform prior, a constant logit shift the softmax
+    ignores) and the estimator then folds this batch's items in
+    (training.freq_estimator)."""
+    if not (model_cfg.mixed_negatives or model_cfg.logq_correction):
+        return batch, state.rng, state.logq_state
+    # fresh negatives / logq fields per step; the rng split is gated so the
+    # parity path's state.rng trajectory is untouched
+    rng, sub = jax.random.split(state.rng)
+    override, est = None, state.logq_state
+    if train_cfg.streaming_logq:
+        from two_tower_models_tpu.training.freq_estimator import (
+            freq_log_prob,
+            freq_update,
+        )
+
+        override = freq_log_prob(est)
+        pos = jnp.searchsorted(data.catalog_ids, batch.item_id).astype(jnp.int32)
+        est = freq_update(est, pos, train_cfg.logq_decay)
+    batch = extend_batch(model_cfg, data, batch, sub, override)
+    return batch, rng, est
+
+
 def make_train_step(
     model_cfg: ModelConfig, train_cfg: TrainConfig
 ) -> Callable[[TrainState, SyntheticRecData, jnp.ndarray], Tuple[TrainState, dict]]:
@@ -53,13 +80,9 @@ def make_train_step(
 
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
         batch = gather_batch(data, idx)
-        if model_cfg.mixed_negatives or model_cfg.logq_correction:
-            # fresh negatives / logq fields per step; the rng split is gated
-            # so the parity path's state.rng trajectory is untouched
-            rng, sub = jax.random.split(state.rng)
-            batch = extend_batch(model_cfg, data, batch, sub)
-        else:
-            rng = state.rng
+        batch, rng, logq_state = _extend_and_track(
+            model_cfg, train_cfg, state, data, batch
+        )
         (loss, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
             state.params, model_cfg, batch
         )
@@ -83,6 +106,7 @@ def make_train_step(
             params=params,
             opt_state=opt_state,
             rng=rng,
+            logq_state=logq_state,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
@@ -118,11 +142,9 @@ def _make_lazy_table_step(
 
     def step(state: TrainState, data: SyntheticRecData, idx: jnp.ndarray):
         batch = gather_batch(data, idx)
-        if model_cfg.mixed_negatives or model_cfg.logq_correction:
-            rng, sub = jax.random.split(state.rng)
-            batch = extend_batch(model_cfg, data, batch, sub)
-        else:
-            rng = state.rng
+        batch, rng, logq_state = _extend_and_track(
+            model_cfg, train_cfg, state, data, batch
+        )
         params = state.params
         params2, batch2, meta = build_minibatch(model_cfg, params, batch)
 
@@ -163,6 +185,7 @@ def _make_lazy_table_step(
                 "tables": {"mu": new_mu, "nu": new_nu},
             },
             rng=rng,
+            logq_state=logq_state,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
