@@ -80,6 +80,15 @@ def worker(pid: int, nprocs: int, port: int) -> None:
     )
     summary2 = train(exp2, JsonlLogger(echo=False))
 
+    # Third pass: STREAMING logQ (training.freq_estimator) — the negative
+    # draw stays host-local, the correction columns attach in a global jit
+    # from the replicated estimator; every host must advance the estimator
+    # identically and report the same trajectory.
+    exp3 = _replace(
+        exp2, train=_replace(exp2.train, streaming_logq=True, logq_decay=0.99)
+    )
+    summary3 = train(exp3, JsonlLogger(echo=False))
+
     print(
         "RESULT "
         + json.dumps(
@@ -89,6 +98,8 @@ def worker(pid: int, nprocs: int, port: int) -> None:
                 "recall": round(float(summary["recall_at_k"]), 6),
                 "mns_final_loss": round(float(summary2["final_loss"]), 6),
                 "mns_recall": round(float(summary2["recall_at_k"]), 6),
+                "stream_final_loss": round(float(summary3["final_loss"]), 6),
+                "stream_recall": round(float(summary3["recall_at_k"]), 6),
             }
         ),
         flush=True,
@@ -136,7 +147,9 @@ def parent() -> int:
         return 1
     print(f"multihost smoke ok: 2 processes x {LOCAL_DEVICES} devices, "
           f"mesh (2,2), loss={a['final_loss']}, recall={a['recall']}, "
-          f"mns_loss={a['mns_final_loss']}, mns_recall={a['mns_recall']}")
+          f"mns_loss={a['mns_final_loss']}, mns_recall={a['mns_recall']}, "
+          f"stream_loss={a['stream_final_loss']}, "
+          f"stream_recall={a['stream_recall']}")
     return 0
 
 

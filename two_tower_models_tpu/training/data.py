@@ -213,6 +213,52 @@ def extend_batch_for_idx(
     return extend_batch(model_cfg, data, batch, key)
 
 
+def attach_streaming_logq(
+    model_cfg,
+    train_cfg,
+    batch: Batch,
+    est,
+    catalog_ids: jnp.ndarray,
+):
+    """Fill ``item_logq`` / ``neg_logq`` from the STREAMING estimator and
+    advance it (training.freq_estimator).  Corrections use the estimator's
+    CURRENT estimate (cold start = uniform prior, a constant logit shift
+    softmax ignores), then the batch's items fold in.  Same mixed-proposal
+    formula as ``extend_batch`` — log(B·p̂(j) + B'/C) — with p̂ from decayed
+    counts instead of the oracle.
+
+    This is the jit-safe second stage of the streaming batch build: it needs
+    only (batch, estimator, catalog ids), no dataset — so on MULTIHOST it
+    runs as a global jit over the lifted batch while the negative DRAW stays
+    host-local (training/loop.py).  Every host computes the identical
+    replicated estimator update (the batch ids are global), zero extra
+    communication.  Returns (batch, new_est)."""
+    from two_tower_models_tpu.training.freq_estimator import (
+        freq_log_prob,
+        freq_update,
+    )
+
+    b_extra = int(model_cfg.mixed_negatives)
+    c = catalog_ids.shape[0]
+    b = batch.item_id.shape[-1]
+    override = freq_log_prob(est)
+    mix_logq = jnp.logaddexp(
+        jnp.log(float(b)) + override,
+        jnp.full_like(override, jnp.log(float(b_extra) / c))
+        if b_extra
+        else jnp.full_like(override, -jnp.inf),
+    )
+    pos = jnp.searchsorted(catalog_ids, batch.item_id).astype(jnp.int32)
+    upd = {"item_logq": mix_logq[pos]}
+    if b_extra:
+        neg_pos = jnp.searchsorted(catalog_ids, batch.neg_item_id).astype(
+            jnp.int32
+        )
+        upd["neg_logq"] = mix_logq[neg_pos]
+    est = freq_update(est, pos, train_cfg.logq_decay)
+    return batch._replace(**upd), est
+
+
 def stream_extend_for_idx(
     model_cfg,
     train_cfg,
@@ -223,22 +269,20 @@ def stream_extend_for_idx(
     est,
 ):
     """extend_batch_for_idx with the STREAMING frequency estimator
-    (training.freq_estimator) supplying ``catalog_logq``: corrections use the
-    estimator's current estimate (cold start = uniform prior, a constant
-    logit shift softmax ignores), then the batch's items fold in.  With a
-    stacked [K, B] dispatch, all K rows share one pre-dispatch estimate and
-    fold in together — a ≤K-step staleness, negligible against the
-    estimator's ~1/(1−γ)-batch window.  Returns (batch, new_est)."""
-    from two_tower_models_tpu.training.freq_estimator import (
-        freq_log_prob,
-        freq_update,
-    )
+    (training.freq_estimator) supplying ``catalog_logq``: the negative draw
+    runs logq-less, then ``attach_streaming_logq`` fills the correction
+    columns and advances the estimator.  With a stacked [K, B] dispatch, all
+    K rows share one pre-dispatch estimate and fold in together — a ≤K-step
+    staleness, negligible against the estimator's ~1/(1−γ)-batch window.
+    Returns (batch, new_est)."""
+    import dataclasses
 
-    override = freq_log_prob(est)
-    pos = jnp.searchsorted(data.catalog_ids, batch.item_id).astype(jnp.int32)
-    est = freq_update(est, pos, train_cfg.logq_decay)
     key = jax.random.fold_in(base_key, jnp.asarray(idx).reshape(-1)[0])
-    return extend_batch(model_cfg, data, batch, key, override), est
+    no_logq = dataclasses.replace(model_cfg, logq_correction=False)
+    batch = extend_batch(no_logq, data, batch, key)
+    return attach_streaming_logq(
+        model_cfg, train_cfg, batch, est, data.catalog_ids
+    )
 
 
 def epoch_batches(

@@ -151,14 +151,6 @@ def _train_inner(
         _neg_base = jax.random.key(train_cfg.seed + 1789)
 
         if jax.process_count() > 1:
-            if train_cfg.streaming_logq:
-                raise NotImplementedError(
-                    "streaming_logq is single-host for now: the estimator "
-                    "update is deterministic per global batch so a "
-                    "replicated-lift extension is straightforward, but the "
-                    "host-local batch build path does not thread it yet — "
-                    "use the oracle catalog_logq on multihost"
-                )
             # Multi-host: the batch schedule is identical on every host
             # (pure function of seed), but each host materializes only ITS
             # rows and lifts them into a global P('data') array — host
@@ -170,24 +162,79 @@ def _train_inner(
             )
             import numpy as _np
 
+            # With streaming_logq the negative DRAW stays host-local and
+            # logq-less; the correction columns attach in a global jit from
+            # the replicated estimator, which every host advances
+            # identically (the update reads the GLOBAL batch ids — zero
+            # extra communication).
+            _draw_cfg = (
+                replace(model_cfg, logq_correction=False)
+                if train_cfg.streaming_logq
+                else model_cfg
+            )
+
             def _to_global(d, idx):
                 idx = _np.asarray(idx)
                 # negatives key off the GLOBAL idx before host slicing —
                 # identical on every host and across checkpoint resume
                 local = extend_batch_for_idx(
-                    model_cfg, d, gather_batch(d, host_batch_slice(idx)),
+                    _draw_cfg, d, gather_batch(d, host_batch_slice(idx)),
                     _neg_base, idx,
                 )
                 return global_batch_from_host_local(
                     local, mesh, stack_dims=idx.ndim - 1
                 )
 
-            def train_step(s, d, idx):
-                return _mesh_step(s, _to_global(d, idx))
+            if train_cfg.streaming_logq:
+                from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            def _make_single():
-                one = _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
-                return lambda s, d, idx: one(s, _to_global(d, idx))
+                from two_tower_models_tpu.training.data import (
+                    attach_streaming_logq,
+                )
+
+                _attach = jax.jit(
+                    lambda b, est, cat: attach_streaming_logq(
+                        model_cfg, train_cfg, b, est, cat
+                    )
+                )
+                # catalog ids lift ONCE as a global replicated constant
+                _cat_cache = {}
+
+                def _cat_global(d):
+                    k = id(d.catalog_ids)
+                    if k not in _cat_cache:
+                        _cat_cache[k] = jax.make_array_from_process_local_data(
+                            NamedSharding(mesh, _P()),
+                            _np.asarray(d.catalog_ids),
+                        )
+                    return _cat_cache[k]
+
+                def _wrap_mh(mesh_step):
+                    def fn(s, d, idx):
+                        gb, est = _attach(
+                            _to_global(d, idx), s.logq_state, _cat_global(d)
+                        )
+                        return mesh_step(s._replace(logq_state=est), gb)
+
+                    return fn
+
+                train_step = _wrap_mh(_mesh_step)
+
+                def _make_single():
+                    return _wrap_mh(
+                        _make_mesh_step(replace(train_cfg, steps_per_dispatch=1))
+                    )
+
+            else:
+
+                def train_step(s, d, idx):
+                    return _mesh_step(s, _to_global(d, idx))
+
+                def _make_single():
+                    one = _make_mesh_step(
+                        replace(train_cfg, steps_per_dispatch=1)
+                    )
+                    return lambda s, d, idx: one(s, _to_global(d, idx))
 
         else:
             extended = model_cfg.mixed_negatives or model_cfg.logq_correction
