@@ -112,6 +112,16 @@ def tile_max_scores(
         out_shape=jax.ShapeDtypeStruct((n_tiles, b), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the [CHUNK, QB] f32 score block is the kernel's footprint;
+            # sweep configs beyond chunk*qb = 1M elements (pass-1 sweep,
+            # scripts/exp_exact_pipeline.py) legitimately exceed the 16 MB
+            # default scoped limit (measured r4: 18 MB at c4096/qb1024).
+            # 4x the block bounds the mask-branch temporaries; v5e has
+            # 128 MB of VMEM.
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                max(16 * 1024 * 1024, 4 * 4 * chunk * qb),
+            ),
         ),
         interpret=_interpret(),
     )(valid, query, corpus_p)
@@ -247,7 +257,11 @@ def _select_keys_t(keys_t: jnp.ndarray, k: int, query_block: int = 128):
     idx, val = pl.pallas_call(
         functools.partial(_select_topk_kernel, k=k, qb=qb),
         grid=(b // qb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # Pin the operand to HBM: under ANY, Mosaic promotes a fitting
+        # operand (<16 MB) into scoped VMEM, and operand + the [NT, QB]
+        # scratch together blew the 16 MB limit at NT=12288, B=256 on v5e
+        # (measured r4) — the kernel DMAs its own slice, HBM is the design.
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((k, qb), lambda q: (0, q)),
             pl.BlockSpec((k, qb), lambda q: (0, q)),
@@ -262,6 +276,12 @@ def _select_keys_t(keys_t: jnp.ndarray, k: int, query_block: int = 128):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # At NT=12288 the compiler's scoped-VMEM accounting charges ~3x
+            # the [NT, QB] chunk (scratch + the staged HBM slice copy), which
+            # overflows the 16 MB default at the top of the hierarchy's
+            # range (measured r4: 18 MB at NT=12288 for ANY B).  v5e has
+            # 128 MB of VMEM; 32 MB bounds the worst case with headroom.
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(keys_t)
@@ -459,7 +479,10 @@ def gather_rescore(
             num_scalar_prefetch=1,
             grid=(b // _QG,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # corpus (HBM)
+                # pinned (not ANY): small corpora fit Mosaic's VMEM-promotion
+                # heuristic and would double-count against scoped VMEM next
+                # to the candidate scratch — the ring DMA wants HBM anyway
+                pl.BlockSpec(memory_space=pltpu.HBM),  # corpus
                 pl.BlockSpec((_QG, pack, dp), lambda g, tidx: (g, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
