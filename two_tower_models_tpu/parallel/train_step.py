@@ -59,23 +59,6 @@ def _table_dims(cfg: "ModelConfig"):
     }
 
 
-def require_plain_tables(params, cfg: "ModelConfig"):
-    """The GSPMD path partitions the SINGLE-CHIP model, whose packed-table
-    gather under the SPMD partitioner is untested — reject packed leaves
-    there.  (The explicit shard_map path row-shards packed storage natively:
-    ``check_mesh_tables``.)"""
-    for name, dim in _table_dims(cfg).items():
-        t = params.get(name)
-        if t is not None and t.shape[-1] != dim:
-            raise ValueError(
-                f"{name} has shape {tuple(t.shape)} but logical dim {dim} — "
-                "it is 128-lane-packed storage, which the GSPMD path cannot "
-                "partition. Build the state with create_train_state(..., "
-                "pack=False), or use the explicit shard_map path "
-                "(explicit_collectives=True), which shards packed layouts."
-            )
-
-
 def check_mesh_tables(params, cfg: "ModelConfig", n_model: int):
     """Explicit-path validation: each table (plain [V, D] or 128-lane-packed
     [Vp/P, P·D], nn.packed_table) must split evenly over the model axis.
@@ -446,7 +429,12 @@ def make_gspmd_train_step(
     Pallas kernels cannot be auto-partitioned, so kernel call sites run as
     manual shard_map ISLANDS over this mesh (parallel.islands; activated by
     the kernel_islands context below) — fused loss and encoder kernels work
-    here too.  ``steps_per_dispatch > 1`` scans K steps per dispatch, same
+    here too.  128-lane-packed tables (nn.packed_table) partition like plain
+    ones: their lookup/VJP lower to an XLA gather/scatter over the
+    P('model', None) physical rows (the Pallas scatter kernel is disabled on
+    this path anyway), and row v's physical row v // P keeps model-axis
+    shards contiguous in logical ids — packed-vs-plain trajectory parity on
+    the virtual mesh is tested (tests/test_packed_mesh.py).  ``steps_per_dispatch > 1`` scans K steps per dispatch, same
     carry-aliasing rationale as the explicit path.  Parity with the
     single-chip step (loss AND grads) is tested on a virtual mesh
     (tests/test_parallel.py).
@@ -489,7 +477,6 @@ def make_gspmd_train_step(
 
         # shardings derive from the state's pytree, known at first call
         if "fn" not in compiled:
-            require_plain_tables(state.params, model_cfg)
             tp = bool(mesh_cfg and mesh_cfg.tower_tp)
             to_sharding = lambda s: NamedSharding(mesh, s)
             state_sh = jax.tree_util.tree_map(to_sharding, state_pspecs(state, tp))

@@ -102,9 +102,10 @@ def _train_inner(
     on_mesh = mesh_cfg.data * mesh_cfg.model > 1
     state = create_train_state(
         jax.random.key(train_cfg.seed), model_cfg, train_cfg,
-        # big tables pack on the single chip AND on the explicit shard_map
-        # mesh (row-sharded packed storage); only GSPMD needs plain layout
-        pack=not (on_mesh and not mesh_cfg.explicit_collectives),
+        # big tables pack on the single chip and on BOTH mesh paths (the
+        # explicit step row-shards packed storage; GSPMD partitions the
+        # packed gather/scatter like a plain one)
+        pack=True,
         model_shards=mesh_cfg.model if on_mesh else 1,
         catalog_size=data.catalog_ids.shape[0],
     )
