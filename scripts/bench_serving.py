@@ -59,11 +59,15 @@ def main():
 
     # corpus is config-independent: embed the catalog once, share it
     shared = RetrievalEngine.from_params(params, base, catalog_ids, catalog_features)
-    for name, cfg in (
-        ("exact", base),
-        ("approx_mips", dataclasses.replace(base, approx_mips=True)),
+    approx = dataclasses.replace(base, approx_mips=True)
+    exact_ref = None  # approx-path exact reference for recall@num_items
+    for name, cfg, quant in (
+        ("exact", base, None),
+        ("approx_mips", approx, None),
+        ("approx_int8", approx, "int8"),
+        ("approx_int8_rescore", approx, "int8_rescore"),
     ):
-        eng = RetrievalEngine(params, cfg, shared.corpus)
+        eng = RetrievalEngine(params, cfg, shared.corpus, quantize=quant)
         eng.warmup(args.batch)
         out = eng.query(uid, feat, hist)
         jax.device_get(out[0, 0])
@@ -72,12 +76,27 @@ def main():
             out = eng.query(uid, feat, hist)
         jax.device_get(out[0, 0])
         ms = (time.perf_counter() - t0) / args.iters * 1e3
+        rec = None
+        if name == "exact":
+            exact_ref = jax.device_get(out)
+        elif exact_ref is not None:
+            import numpy as np
+
+            got = jax.device_get(out)
+            rec = round(
+                sum(
+                    len(set(got[b]) & set(exact_ref[b]))
+                    for b in range(got.shape[0])
+                ) / exact_ref.size,
+                4,
+            )
         print(json.dumps({
             "path": name,
             "corpus": args.corpus,
             "batch": args.batch,
             "latency_ms_per_batch": round(ms, 3),
             "qps": round(args.batch / ms * 1e3),
+            "recall_vs_exact": rec,
         }))
 
 

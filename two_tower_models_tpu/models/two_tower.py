@@ -799,8 +799,19 @@ def retrieve(
     MIPS top ``num_mips_items`` then pointwise rerank to ``num_items``.
     """
     from two_tower_models_tpu.retrieval.mips import mips_topk_approx, mips_topk_exact
+    from two_tower_models_tpu.retrieval.quant import (
+        QuantizedCorpus,
+        mips_topk_quantized,
+    )
 
-    if cfg.approx_mips:
+    if isinstance(corpus, QuantizedCorpus):
+        # int8 serving corpus (retrieval.quant): half the scan bandwidth;
+        # approx_mips picks the pre-selection op, qc.raw opts into rescore.
+        base = functools.partial(
+            mips_topk_quantized,
+            recall_target=cfg.mips_recall_target if cfg.approx_mips else None,
+        )
+    elif cfg.approx_mips:
         # Serving path: PartialReduce-backed approximate top-k (config.py).
         base = functools.partial(mips_topk_approx, recall_target=cfg.mips_recall_target)
     else:

@@ -35,6 +35,12 @@ class RetrievalEngine:
     one chip's HBM serve directly, and each chip scans only C/n rows.
     ``valid_count`` marks the real (un-padded) corpus rows; defaults to the
     full corpus length.
+
+    ``quantize="int8"`` serves from a symmetric per-row int8 corpus
+    (retrieval.quant): half the scan bandwidth and corpus memory at a
+    sub-point recall cost; ``"int8_rescore"`` keeps the raw rows and
+    re-scores an oversampled candidate pool — full-precision recall at the
+    quantized scan's speed (single-chip engine only).
     """
 
     def __init__(
@@ -45,7 +51,22 @@ class RetrievalEngine:
         mesh=None,
         valid_count: int | None = None,
         tower_tp: bool = False,
+        quantize: str | None = None,  # None | "int8" | "int8_rescore"
     ):
+        if quantize is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "quantize composes with the single-chip engine; the "
+                    "sharded engine already bounds per-chip scan bytes at "
+                    "C/n rows (row-shard the raw corpus, or quantize "
+                    "host-side per shard)"
+                )
+            if quantize not in ("int8", "int8_rescore"):
+                raise ValueError(f"quantize must be int8|int8_rescore, got {quantize!r}")
+            from two_tower_models_tpu.retrieval.quant import quantize_corpus
+
+            corpus = quantize_corpus(corpus, keep_raw=quantize == "int8_rescore")
+        self._quantize = quantize
         # (params, corpus) live in ONE reference so refresh() can swap them
         # atomically under the GIL — a query racing a refresh must never see
         # new user embeddings scored against an old-space corpus
@@ -84,6 +105,7 @@ class RetrievalEngine:
         embed_batch_size: int = 4096,
         mesh=None,
         tower_tp: bool = False,
+        quantize: str | None = None,
     ) -> "RetrievalEngine":
         """Build the corpus from the trained item tower, then serve it."""
         if mesh is not None:
@@ -103,7 +125,7 @@ class RetrievalEngine:
         corpus = refresh_corpus(
             params, cfg, catalog_ids, catalog_features, batch_size=embed_batch_size
         )
-        return cls(params, cfg, corpus)
+        return cls(params, cfg, corpus, quantize=quantize)
 
     @property
     def corpus(self) -> jnp.ndarray:
@@ -203,4 +225,10 @@ class RetrievalEngine:
                 params, self._cfg, catalog_ids, catalog_features,
                 batch_size=embed_batch_size,
             )
+            if self._quantize is not None:
+                from two_tower_models_tpu.retrieval.quant import quantize_corpus
+
+                corpus = quantize_corpus(
+                    corpus, keep_raw=self._quantize == "int8_rescore"
+                )
         self._state = (params, corpus)
