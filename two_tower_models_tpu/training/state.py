@@ -74,10 +74,11 @@ def create_train_state(
     model_shards: int = 1,
     catalog_size: int | None = None,
 ) -> TrainState:
-    """``pack=False`` keeps tables in plain [V, D] storage (required on the
-    GSPMD mesh path; the explicit shard_map path row-shards packed storage —
+    """``pack=False`` keeps tables in plain [V, D] storage.  Both mesh paths
+    row-shard packed storage (the explicit shard_map path exchanges in
+    logical rows; GSPMD partitions the packed gather/scatter directly) —
     pass ``model_shards`` = the model-axis size so packing skips tables whose
-    packed shape wouldn't split evenly).  The lazy-Adam path composes with
+    packed shape wouldn't split evenly.  The lazy-Adam path composes with
     packing: minitables gather logically and the write-back streams through
     the Pallas in-place row writer (training.sparse_tables)."""
     k_params, k_rng = jax.random.split(key)
