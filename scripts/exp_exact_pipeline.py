@@ -77,7 +77,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--variants",
-        default="default,flat_select,xla_pass4,nopack,tile256,tile256_nopack,ring16,ring32",
+        default="default,pruned_select,xla_pass4,nopack,tile256,tile256_nopack,ring16,ring32",
     )
     p.add_argument("--passes", action="store_true", help="per-pass decomposition")
     p.add_argument("--pass1_sweep", action="store_true",
@@ -97,23 +97,25 @@ def main():
     query = jax.random.normal(jax.random.key(1), (B, D), jnp.bfloat16)
 
     defaults = dict(RING=M._RING, P4=M._PASS4_MIN_POOL, PACK=M._PACK,
-                    PRUNED=M.select_topk_t_pruned)
+                    PRUNED=M._PRUNED_SELECT)
 
     def reset():
         M._RING = defaults["RING"]
         M._PASS4_MIN_POOL = defaults["P4"]
         M._PACK = defaults["PACK"]
-        M.select_topk_t_pruned = defaults["PRUNED"]
+        M._PRUNED_SELECT = defaults["PRUNED"]
 
     for v in args.variants.split(","):
         reset()
         tile = 128
         note = ""
         if v == "default":
-            note = "packed gather + pruned selects, tile=128"
-        elif v == "flat_select":
-            M.select_topk_t_pruned = lambda s, k, **kw: M.select_topk_t(s, k)
+            note = "flat selects + packed gather, tile=128 (r4 default)"
+        elif v == "flat_select":  # alias of default since the r4 flip
             note = "flat tournament for passes 2+4"
+        elif v == "pruned_select":
+            M._PRUNED_SELECT = True
+            note = "supertile-pruned selects (r3 default; measured 1.8x worse)"
         elif v == "xla_pass4":
             M._PASS4_MIN_POOL = 1 << 30
             note = "lax.top_k for pass 4 (r2 shape)"

@@ -489,3 +489,26 @@ def test_select_topk_full_payload_negative_nan():
     assert all(len(set(r.tolist())) == 5 for r in idx)
     v = np.asarray(v.T)
     assert np.isnan(v).all() and (v.view(np.uint32) >> 31 == 1).all()
+
+
+def test_exact_pallas_query_blocking_smem(monkeypatch):
+    """Query batches whose [B, k] tile-index prefetch exceeds the SMEM
+    budget run the pipeline in blocks (hit at B=4096, k=100 on hardware —
+    1.6 MB vs the 1 MB v5e SMEM): parity with the dense scan across the
+    block seam, including a non-dividing batch size."""
+    import two_tower_models_tpu.ops.pallas.mips_topk as M
+
+    from two_tower_models_tpu.retrieval.mips import mips_topk
+
+    # budget forces blocks of 256 queries at k=4
+    monkeypatch.setattr(M, "_GATHER_SMEM_BYTES", 256 * 4 * 4)
+    c, d, b, k = 4096, 16, 520, 4  # 520 -> 3 blocks of 256 (pad 248)
+    corpus = jax.random.normal(jax.random.key(0), (c, d), jnp.float32)
+    query = jax.random.normal(jax.random.key(1), (b, d), jnp.float32)
+    idx, scores, emb = M.mips_topk_exact_pallas(corpus, query, k)
+    ref_idx, ref_scores, ref_emb = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb), rtol=1e-6)

@@ -200,6 +200,28 @@ _PASS4_MIN_POOL = 4096
 # (scripts/exp_exact_pipeline.py sweeps it; leave True in production).
 _PACK = True
 
+# SMEM budget for gather_rescore's scalar-prefetched [B, k] tile-index
+# operand (v5e SMEM is 1 MB/core; 512 KB leaves headroom).  Query batches
+# whose B*k*4 exceeds it run the pipeline in blocks (see
+# mips_topk_exact_pallas).
+_GATHER_SMEM_BYTES = 512 * 1024
+
+# Supertile-pruned selection for pipeline passes 2+4: measured a 1.8x
+# REGRESSION at the 1M x 64 / B=1024 benchmark (32.4 ms pruned vs 18.1 ms
+# flat, r4 harvest in BASELINE.md) — the survivor row gather
+# (take_along_axis over [NT, B] keys) costs more than the k*(7/8)*NT
+# tournament row passes it saves.  Flat is the default; the pruned kernel
+# stays correct (bit-exact, parity-tested) for ablation via
+# scripts/exp_exact_pipeline.py --variants pruned_select.
+_PRUNED_SELECT = False
+
+
+def _pipeline_select(scores_t: jnp.ndarray, k: int):
+    """Pass-2/4 selection entry: flat tournament by default (see
+    _PRUNED_SELECT)."""
+    sel = select_topk_t_pruned if _PRUNED_SELECT else select_topk_t
+    return sel(scores_t, k)
+
 
 def _select_keys_t(keys_t: jnp.ndarray, k: int, query_block: int = 128):
     """Key-space core of select_topk_t: (key values [k, B], indices [k, B])
@@ -216,6 +238,17 @@ def _select_keys_t(keys_t: jnp.ndarray, k: int, query_block: int = 128):
     key (even float -inf), so pads are only ever picked once every real row
     of a column is exhausted."""
     nt, b = keys_t.shape
+    if b % 128:
+        # Lane-pad the query dim: the kernel DMAs a [:, q0:q0+qb] slice of
+        # the HBM operand, and Mosaic requires minor-dim slices be
+        # 128-aligned (hardware-only — interpret mode doesn't check tiling;
+        # caught by scripts/tpu_kernel_parity.py at B=8).  Padded columns
+        # select among INT32_MIN pads only; sliced away below.
+        padded = jnp.pad(
+            keys_t, ((0, 0), (0, (-b) % 128)), constant_values=_INT_MIN
+        )
+        v, i = _select_keys_t(padded, k, query_block)
+        return v[:, :b], i[:, :b]
     if nt > _SELECT_MAX_ROWS:
         ch = _SELECT_MAX_ROWS
         n_chunks = -(-nt // ch)
@@ -535,6 +568,8 @@ def mips_topk_exact_pallas(
     k = min(k, c)
     n_tiles = -(-c // tile)
     if k * tile >= c or n_tiles < k:
+        # corpus too small for tile pruning — one dense scan (no SMEM
+        # constraint, so it runs before any query blocking)
         if valid_count is None:
             return mips_topk(corpus, query, k)
         # small-corpus fallback with padded rows: mask them before selecting
@@ -543,6 +578,32 @@ def mips_topk_exact_pallas(
         full = jnp.where(fcol < jnp.asarray(valid_count), full, _NEG_INF)
         scores, idx = jax.lax.top_k(full, k)
         return idx, scores, jnp.take(corpus, idx, axis=0)
+
+    # Bound the gather kernel's scalar-prefetch operand: the [B, k] i32
+    # tile-index array lives in SMEM (1 MB/core on v5e), so B·k·4 bytes
+    # above ~1 MB fails Mosaic compilation (hit at B=4096, k=100 — the
+    # mns_scale eval).  Large query batches run the pipeline in even
+    # blocks under a scan; 512 KB leaves headroom for rounding and other
+    # SMEM users.  The bench shape (B=1024, k=100 = 400 KB) stays one
+    # dispatch.
+    smem_limit_b = max(256, _GATHER_SMEM_BYTES // (4 * max(k, 1)))
+    if b > smem_limit_b:
+        nq = -(-b // smem_limit_b)
+        qblk = -(-b // nq)
+        qblk += (-qblk) % 256  # even, lane-friendly blocks
+        nq = -(-b // qblk)
+        qpad = nq * qblk - b
+        q_all = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query
+        _, outs = jax.lax.scan(
+            lambda _, qq: (
+                None,
+                mips_topk_exact_pallas(corpus, qq, k, tile, chunk, valid_count),
+            ),
+            None,
+            q_all.reshape(nq, qblk, d),
+        )
+        idx, scores, emb = (x.reshape(-1, *x.shape[2:])[:b] for x in outs)
+        return idx, scores, emb
 
     valid = c if valid_count is None else valid_count
 
@@ -583,7 +644,7 @@ def mips_topk_exact_pallas(
         m_t = jnp.pad(
             m_t, ((0, ntpad), (0, spad)), constant_values=_NEG_INF
         )
-    _, idx_t = select_topk_t_pruned(m_t, k)  # [k, BP(+pad)]
+    _, idx_t = _pipeline_select(m_t, k)  # [k, BP(+pad)]
     tile_idx = idx_t[:, :bp].T  # [BP, k]
     # Sort the selected tiles ascending so the candidate pool is in global
     # index order: pass 4's lax.top_k breaks float ties by POSITION, and only
@@ -601,18 +662,17 @@ def mips_topk_exact_pallas(
 
     pool = cand_scores.shape[1]
     if pool >= _PASS4_MIN_POOL:
-        # pass 4 through the pruned tournament: lax.top_k over the [B, k*TILE]
-        # candidates was ~3.2 ms of the pipeline at 1M x 64 (BASELINE.md); the
-        # supertile-pruned select reads k*TILE + k*(k*TILE/8 + 8k) rows
-        # instead of XLA's slow wide selection.  Tie rule is preserved: the
-        # pool is in ascending global-index order (tiles sorted above).
+        # pass 4 through the tournament select: lax.top_k over the
+        # [B, k*TILE] candidates was ~3.2 ms of the pipeline at 1M x 64
+        # (BASELINE.md).  Tie rule is preserved: the pool is in ascending
+        # global-index order (tiles sorted above).
         cs_t = cand_scores.T  # [pool, BP]
         cpad = 0 if bp <= 128 else (-bp) % 128
         if cpad or pool % 8:
             cs_t = jnp.pad(
                 cs_t, ((0, (-pool) % 8), (0, cpad)), constant_values=_NEG_INF
             )
-        vals_t, pos_t = select_topk_t_pruned(cs_t, k)
+        vals_t, pos_t = _pipeline_select(cs_t, k)
         top_scores = vals_t[:, :bp].T
         sel = pos_t[:, :bp].T
     else:
