@@ -147,11 +147,112 @@ def test_engine_quantized_query(mode):
     assert got2.shape == want.shape
 
 
-def test_engine_quantized_rejects_mesh():
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@requires_8
+@pytest.mark.parametrize("keep_raw", [False, True])
+def test_sharded_quantized_topk_parity(keep_raw):
+    """sharded_mips_topk over a row-sharded QuantizedCorpus (padded catalog,
+    both mesh axes): pure mode exactly matches the single-chip quantized
+    scan; rescore mode matches the full-precision top-k."""
+    from jax.sharding import PartitionSpec as P
+
+    from two_tower_models_tpu.config import MeshConfig
+    from two_tower_models_tpu.parallel.mesh import make_mesh
+    from two_tower_models_tpu.retrieval.mips import sharded_mips_topk
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    c, d, b, k = 100, 32, 12, 7  # pads to 104 over 8 shards
+    corpus = _corpus(c, d, seed=5)
+    query = jax.random.normal(jax.random.key(6), (b, d), jnp.float32)
+    pad = (-c) % 8
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0)))
+    qc_p = quantize_corpus(corpus_p, keep_raw=keep_raw)
+
+    def f(qc_shard, query):
+        return sharded_mips_topk(
+            qc_shard, query, k, ("data", "model"), valid_count=c,
+            recall_target=None, oversample=4,
+        )
+
+    specs = jax.tree_util.tree_map(
+        lambda x: P(("data", "model"), None) if x.ndim == 2 else P(("data", "model")),
+        qc_p,
+    )
+    idx, scores, emb = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+            check_vma=False,
+        )
+    )(qc_p, query)
+    assert idx.shape == (b, k) and emb.shape == (b, k, d)
+    if not keep_raw:
+        # identical per-row quantization + exact selection/merge -> identical
+        # indices to the single-chip quantized scan on the unpadded corpus
+        want_i, want_s, _ = mips_topk_quantized(
+            quantize_corpus(corpus), query, k, recall_target=None
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(want_s), rtol=1e-6
+        )
+    else:
+        # shard-local rescore pools are a superset filter of the single-chip
+        # pool: recall vs the exact f32 top-k is ~1, scores are exact f32
+        want_i, _, _ = mips_topk(corpus, query, k)
+        assert _recall(idx, want_i) >= 0.99
+        exact = jnp.einsum(
+            "bkd,bd->bk", jnp.take(corpus, idx, axis=0), query,
+            preferred_element_type=jnp.float32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(exact), rtol=1e-6, atol=1e-6
+        )
+
+
+@requires_8
+@pytest.mark.parametrize("mode", ["int8", "int8_rescore"])
+def test_sharded_engine_quantized(mode):
+    """The mesh engine composes with quantize: the corpus leaves stay
+    row-sharded on device, queries match the single-chip quantized engine,
+    and refresh preserves the quantized sharded representation."""
+    from two_tower_models_tpu.config import MeshConfig
+    from two_tower_models_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
     params = two_tower.init_params(jax.random.key(0), CFG)
-    corpus = jax.random.normal(jax.random.key(1), (128, 16))
-    with pytest.raises(NotImplementedError, match="single-chip"):
-        RetrievalEngine(params, CFG, corpus, mesh=object(), quantize="int8")
+    catalog_ids = jnp.arange(90)  # pads to 96 on 8 devices
+    catalog_features = jax.random.normal(jax.random.key(3), (90, 8))
+    uid, feat, hist = _inputs()
+
+    ref = RetrievalEngine.from_params(
+        params, CFG, catalog_ids, catalog_features, quantize=mode
+    )
+    eng = RetrievalEngine.from_params(
+        params, CFG, catalog_ids, catalog_features, mesh=mesh, quantize=mode
+    )
+    assert isinstance(eng.corpus, QuantizedCorpus)
+    assert (eng.corpus.raw is not None) == (mode == "int8_rescore")
+    # every leaf stays row-sharded over the whole mesh
+    for leaf in jax.tree_util.tree_leaves(eng.corpus):
+        assert leaf.sharding.shard_shape(leaf.shape)[0] == leaf.shape[0] // 8
+    got = np.asarray(eng.query(uid, feat, hist))
+    want = np.asarray(ref.query(uid, feat, hist))
+    # the two engines embed the catalog through different lowerings (scan vs
+    # shard_map tower; ~2e-5 — test_sharded_retrieval), and int8 rounding can
+    # amplify a ulp across a threshold: compare as retrieval sets, not bits
+    # (the bit-level sharded-vs-single parity lives in
+    # test_sharded_quantized_topk_parity, where the corpus is shared)
+    assert _recall(got, want) >= 0.9
+
+    params2 = two_tower.init_params(jax.random.key(7), CFG)
+    eng.refresh(params2, catalog_ids, catalog_features)
+    assert isinstance(eng.corpus, QuantizedCorpus)
+    got2 = eng.query(uid, feat, hist)
+    assert got2.shape == want.shape
 
 
 def test_retrieve_dispatches_on_quantized_corpus():

@@ -50,6 +50,35 @@ def _mesh_size(mesh: Mesh) -> int:
     return mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
 
 
+def _corpus_specs(corpus):
+    """Row-sharding PartitionSpecs for a corpus pytree: rank-2 leaves ([C, D]
+    rows — raw corpus, int8 codes, raw rescore rows) shard over all axes on
+    dim 0; rank-1 leaves (per-row int8 scales) likewise.  Works for a plain
+    [C, D] array and a ``retrieval.quant.QuantizedCorpus`` alike."""
+    return jax.tree_util.tree_map(
+        lambda x: P(ALL_AXES, None) if x.ndim == 2 else P(ALL_AXES), corpus
+    )
+
+
+def quantize_corpus_sharded(corpus: jnp.ndarray, mesh: Mesh, keep_raw: bool):
+    """Quantize a row-sharded corpus IN PLACE on the mesh: per-row symmetric
+    int8 (retrieval.quant.quantize_corpus is row-local, so GSPMD partitions
+    it with zero communication) with every output leaf pinned to the same
+    all-axes row sharding the scan consumes — the full [C, D] matrix never
+    gathers to one chip on the way through."""
+    from two_tower_models_tpu.retrieval.quant import quantize_corpus
+
+    quant = lambda c: quantize_corpus(c, keep_raw=keep_raw)
+    out_struct = jax.eval_shape(quant, corpus)
+    fn = jax.jit(
+        quant,
+        out_shardings=jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), _corpus_specs(out_struct)
+        ),
+    )
+    return fn(corpus)
+
+
 def pad_catalog(
     catalog_ids: jnp.ndarray, catalog_features: jnp.ndarray, mesh: Mesh
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
@@ -147,7 +176,11 @@ def make_sharded_recall_fn(
         mapped = jax.shard_map(
             lambda p, c, b: recall(p, c, b, valid_count),
             mesh=mesh,
-            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), batch_specs),
+            in_specs=(
+                param_pspecs(params, tower_tp),
+                _corpus_specs(corpus),
+                batch_specs,
+            ),
             out_specs=P(),
             check_vma=False,
         )
@@ -199,7 +232,11 @@ def make_sharded_retrieval_fn(
         mapped = jax.shard_map(
             lambda p, c, q: query_fn(p, c, *q, valid_count),
             mesh=mesh,
-            in_specs=(param_pspecs(params, tower_tp), P(ALL_AXES, None), q_specs),
+            in_specs=(
+                param_pspecs(params, tower_tp),
+                _corpus_specs(corpus),
+                q_specs,
+            ),
             out_specs=P(),
             check_vma=False,
         )

@@ -91,6 +91,58 @@ def quantized_scores(query: jnp.ndarray, qc: QuantizedCorpus) -> jnp.ndarray:
     return s * qc.scale[None, :]
 
 
+def quantized_shard_topk(
+    qc: QuantizedCorpus,
+    query: jnp.ndarray,  # [B, D]
+    k: int,
+    recall_target: Optional[float] = 0.95,  # None = exact top-k of q-scores
+    oversample: int = 4,
+    row_offset=0,  # global index of this shard's row 0 (traced OK)
+    valid_count=None,  # GLOBAL rows < this are real; rest are padding
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Local top-k of one quantized corpus (shard): (scores [B, k],
+    local indices [B, k], embeddings [B, k, D]).
+
+    The building block both the single-chip and the mesh-sharded int8 paths
+    share: quantized scan (+ padded-row masking against GLOBAL row indices,
+    for shards of a padded catalog), then either direct selection (pure
+    mode) or an ``oversample * k`` pre-selection re-scored at full precision
+    against ``qc.raw`` (rescore mode).  Inside ``shard_map`` the caller
+    passes ``row_offset = axis_index * rows_per_shard``; padded rows keep
+    ``-inf`` through the rescore so they can never displace a real
+    candidate in the cross-shard merge."""
+    n_local = qc.q.shape[0]
+    k = min(k, n_local)
+    m = min(oversample * k, n_local) if qc.raw is not None else k
+    s = quantized_scores(query, qc)
+    if valid_count is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + row_offset
+        s = jnp.where(col < valid_count, s, -jnp.inf)
+    if recall_target is None:
+        pre_s, pre_i = jax.lax.top_k(s, m)
+    else:
+        pre_s, pre_i = jax.lax.approx_max_k(s, m, recall_target=recall_target)
+    if qc.raw is None:
+        # dequantize only the selected rows (never the whole shard)
+        emb = (
+            jnp.take(qc.q, pre_i, axis=0).astype(jnp.float32)
+            * jnp.take(qc.scale, pre_i, axis=0)[..., None]
+        ).astype(query.dtype)
+        return pre_s, pre_i, emb
+
+    cand = jnp.take(qc.raw, pre_i, axis=0)  # [B, m, D]
+    exact = jnp.einsum(
+        "bmd,bd->bm", cand.astype(query.dtype), query,
+        preferred_element_type=jnp.float32,
+    )
+    # padded rows entered the pool at -inf; keep them there post-rescore
+    exact = jnp.where(jnp.isneginf(pre_s), -jnp.inf, exact)
+    top_s, sel = jax.lax.top_k(exact, k)  # [B, k] over the candidate pool
+    top_i = jnp.take_along_axis(pre_i, sel, axis=1)
+    top_e = jnp.take_along_axis(cand, sel[:, :, None], axis=1)
+    return top_s, top_i, top_e
+
+
 def mips_topk_quantized(
     qc: QuantizedCorpus,
     query: jnp.ndarray,  # [B, D]
@@ -107,24 +159,9 @@ def mips_topk_quantized(
     dequantized per-row).  With them: an ``oversample * k`` quantized
     pre-selection is re-scored against the full-precision rows and the
     final top-k + scores + embeddings are exact over that pool."""
-    if rescore_corpus is None:
-        rescore_corpus = qc.raw
-    c = qc.q.shape[0]
-    m = min(oversample * k, c) if rescore_corpus is not None else k
-    s = quantized_scores(query, qc)
-    if recall_target is None:
-        pre_s, pre_i = jax.lax.top_k(s, m)
-    else:
-        pre_s, pre_i = jax.lax.approx_max_k(s, m, recall_target=recall_target)
-    if rescore_corpus is None:
-        return pre_i, pre_s, jnp.take(dequantize(qc, query.dtype), pre_i, axis=0)
-
-    cand = jnp.take(rescore_corpus, pre_i, axis=0)  # [B, m, D]
-    exact = jnp.einsum(
-        "bmd,bd->bm", cand.astype(query.dtype), query,
-        preferred_element_type=jnp.float32,
+    if rescore_corpus is not None:
+        qc = qc._replace(raw=rescore_corpus)
+    s, i, e = quantized_shard_topk(
+        qc, query, k, recall_target=recall_target, oversample=oversample
     )
-    top_s, sel = jax.lax.top_k(exact, k)  # [B, k] over the candidate pool
-    top_i = jnp.take_along_axis(pre_i, sel, axis=1)
-    top_e = jnp.take_along_axis(cand, sel[:, :, None], axis=1)
-    return top_i, top_s, top_e
+    return i, s, e

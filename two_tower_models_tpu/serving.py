@@ -40,7 +40,11 @@ class RetrievalEngine:
     (retrieval.quant): half the scan bandwidth and corpus memory at a
     sub-point recall cost; ``"int8_rescore"`` keeps the raw rows and
     re-scores an oversampled candidate pool — full-precision recall at the
-    quantized scan's speed (single-chip engine only).
+    quantized scan's speed.  Both compose with ``mesh``: the quantized
+    corpus row-shards over every device like the raw one (quantization runs
+    sharded in place — parallel.retrieval.quantize_corpus_sharded), each
+    chip scans C/n int8 rows, rescore happens shard-locally before the
+    exact cross-shard merge.
     """
 
     def __init__(
@@ -54,18 +58,19 @@ class RetrievalEngine:
         quantize: str | None = None,  # None | "int8" | "int8_rescore"
     ):
         if quantize is not None:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "quantize composes with the single-chip engine; the "
-                    "sharded engine already bounds per-chip scan bytes at "
-                    "C/n rows (row-shard the raw corpus, or quantize "
-                    "host-side per shard)"
-                )
             if quantize not in ("int8", "int8_rescore"):
                 raise ValueError(f"quantize must be int8|int8_rescore, got {quantize!r}")
-            from two_tower_models_tpu.retrieval.quant import quantize_corpus
+            keep_raw = quantize == "int8_rescore"
+            if mesh is not None:
+                from two_tower_models_tpu.parallel.retrieval import (
+                    quantize_corpus_sharded,
+                )
 
-            corpus = quantize_corpus(corpus, keep_raw=quantize == "int8_rescore")
+                corpus = quantize_corpus_sharded(corpus, mesh, keep_raw)
+            else:
+                from two_tower_models_tpu.retrieval.quant import quantize_corpus
+
+                corpus = quantize_corpus(corpus, keep_raw=keep_raw)
         self._quantize = quantize
         # (params, corpus) live in ONE reference so refresh() can swap them
         # atomically under the GIL — a query racing a refresh must never see
@@ -120,7 +125,7 @@ class RetrievalEngine:
             )
             return cls(
                 params, cfg, corpus, mesh=mesh, valid_count=valid_c,
-                tower_tp=tower_tp,
+                tower_tp=tower_tp, quantize=quantize,
             )
         corpus = refresh_corpus(
             params, cfg, catalog_ids, catalog_features, batch_size=embed_batch_size
@@ -220,6 +225,14 @@ class RetrievalEngine:
                 "catalog size changed across refresh; rebuild the engine "
                 "(the jitted query closes over valid_count)"
             )
+            if self._quantize is not None:
+                from two_tower_models_tpu.parallel.retrieval import (
+                    quantize_corpus_sharded,
+                )
+
+                corpus = quantize_corpus_sharded(
+                    corpus, self._mesh, self._quantize == "int8_rescore"
+                )
         else:
             corpus = refresh_corpus(
                 params, self._cfg, catalog_ids, catalog_features,
