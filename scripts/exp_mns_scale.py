@@ -103,6 +103,11 @@ def main(argv=None):
             batch_size=scale["batch_size"],
             num_epochs=args.epochs,
             learning_rate=3e-3,
+            # Zipf batches carry hundreds of duplicate head positives; the
+            # unclipped anchor run diverged by epoch 7 (grad norm 0.12 ->
+            # 4.7, CE 8.3 -> 13 — BASELINE r4).  1.0 sits ~8x above healthy
+            # norms: pure divergence stop, not a tuning knob.
+            grad_clip_norm=1.0,
             seed=seed,
             steps_per_dispatch=scale["spd"],
             streaming_logq=arm.startswith("stream"),

@@ -410,3 +410,33 @@ def test_async_save_auto_probe(tmp_path, monkeypatch):
     forced = ckpt.CheckpointManager(str(tmp_path / "forced"), async_save=True)
     assert forced.async_save is True
     forced.close()
+
+
+def test_grad_clip_norm():
+    """TrainConfig.grad_clip_norm chains a global-norm clip before Adam:
+    big gradients produce the same update as their rescaled-to-norm
+    counterparts; incompatible optimizer modes raise."""
+    import optax
+
+    from two_tower_models_tpu.training.state import make_optimizer
+
+    grads = {"a": jnp.full((4, 4), 30.0), "b": jnp.full((2,), 40.0)}
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > 1.0
+    params = jax.tree_util.tree_map(jnp.zeros_like, grads)
+
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3, grad_clip_norm=1.0))
+    u_big, _ = tx.update(grads, tx.init(params), params)
+
+    tx_plain = make_optimizer(TrainConfig(learning_rate=1e-3))
+    scaled = jax.tree_util.tree_map(lambda g: g / gnorm, grads)
+    u_ref, _ = tx_plain.update(scaled, tx_plain.init(params), params)
+    for k in grads:
+        np.testing.assert_allclose(
+            np.asarray(u_big[k]), np.asarray(u_ref[k]), rtol=1e-6
+        )
+
+    with pytest.raises(ValueError, match="fused_adam"):
+        make_optimizer(TrainConfig(grad_clip_norm=1.0, fused_adam=True))
+    with pytest.raises(NotImplementedError, match="lazy_table_adam"):
+        make_optimizer(TrainConfig(grad_clip_norm=1.0, lazy_table_adam=True))

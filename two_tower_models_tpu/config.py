@@ -312,6 +312,13 @@ class TrainConfig:
     batch_size: int = 32
     num_epochs: int = 2
     learning_rate: float = 1e-3
+    # Global-norm gradient clipping before Adam (optax.clip_by_global_norm);
+    # None/0 = off (reference parity — train/train.py:179 uses bare Adam).
+    # The regime that needs it: large-batch training on popularity-skewed
+    # data, where in-batch duplicate positives drive late-training grad-norm
+    # growth and divergence (measured r4: the 65k/B=4096 Zipf anchor
+    # diverges by epoch 7 at lr 3e-3 unclipped — BASELINE.md).
+    grad_clip_norm: Optional[float] = None
     seed: int = 42
     # NOTE on the *_every gates: with steps_per_dispatch=K > 1 they fire at
     # DISPATCH boundaries — the first dispatch whose covered step range

@@ -556,6 +556,13 @@ def make_sharded_train_step(
             "ring_negatives shares negatives across the data axis; it "
             "requires global_negatives=True"
         )
+    if getattr(train_cfg, "grad_clip_norm", None):
+        raise NotImplementedError(
+            "grad_clip_norm inside the explicit shard_map step would clip "
+            "on per-chip grad norms (table grads are model-shard-local); "
+            "use the GSPMD step (MeshConfig.gspmd=True), where the "
+            "partitioner computes the true global norm"
+        )
     tx = make_optimizer(train_cfg)
 
     def loss_for_grad(params, batch):

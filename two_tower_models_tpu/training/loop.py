@@ -565,6 +565,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--noise_labels", action="store_true",
                    help="pure-noise labels like the reference demo (recall@k becomes random)")
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--grad_clip_norm", type=float, default=None,
+                   help="global-norm gradient clip before Adam (off by "
+                        "default = reference parity)")
     # systems flags the reference lacks
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint_dir", default=None)
@@ -628,6 +631,7 @@ def config_from_args(args: argparse.Namespace) -> ExperimentConfig:
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
+        grad_clip_norm=args.grad_clip_norm,
         streaming_logq=args.streaming_logq,
         logq_decay=args.logq_decay,
         seed=args.seed,

@@ -29,8 +29,24 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam, matching the reference driver (train/train.py:179)."""
-    return optax.adam(train_cfg.learning_rate)
+    """Adam, matching the reference driver (train/train.py:179); optional
+    global-norm clipping upstream of it (TrainConfig.grad_clip_norm)."""
+    adam = optax.adam(train_cfg.learning_rate)
+    clip = getattr(train_cfg, "grad_clip_norm", None)
+    if clip:
+        if train_cfg.fused_adam:
+            raise ValueError(
+                "grad_clip_norm is incompatible with fused_adam (the kernel "
+                "hardcodes plain-Adam semantics)"
+            )
+        if train_cfg.lazy_table_adam:
+            raise NotImplementedError(
+                "grad_clip_norm with lazy_table_adam would clip on the "
+                "dense subtree's norm only (table grads live outside "
+                "optax) — use the dense path"
+            )
+        return optax.chain(optax.clip_by_global_norm(clip), adam)
+    return adam
 
 
 def maybe_pack_tables(
