@@ -512,3 +512,48 @@ def test_exact_pallas_query_blocking_smem(monkeypatch):
         np.asarray(scores), np.asarray(ref_scores), rtol=1e-6
     )
     np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb), rtol=1e-6)
+
+
+def test_gather_query_block_respects_smem_budget():
+    """ADVICE r4: the old guard floored the block at 256 queries, so for
+    k >= 512 a block's B*k*4 tile-index operand re-exceeded the 512 KB
+    budget (and v5e's 1 MB SMEM outright at k >= 1024).  The block must
+    fit the budget at every k, and must be None (dense fallback) when
+    even 128 queries cannot fit."""
+    import two_tower_models_tpu.ops.pallas.mips_topk as M
+
+    for k in (1, 100, 128, 511, 512, 513, 1024, 1025, 4096):
+        for b in (8, 256, 520, 1024, 4096, 65536):
+            qblk = M._gather_query_block(b, k)
+            if k > M._GATHER_SMEM_BYTES // (4 * 128):
+                assert qblk is None, (b, k)
+                continue
+            assert qblk is not None and 1 <= qblk <= b, (b, k, qblk)
+            assert qblk * k * 4 <= M._GATHER_SMEM_BYTES, (b, k, qblk)
+            # blocks bigger than one dispatch stay lane-aligned
+            if qblk < b:
+                assert qblk % 128 == 0, (b, k, qblk)
+
+
+def test_exact_pallas_large_k_dense_fallback(monkeypatch):
+    """When no lane-aligned query block fits the SMEM budget the pipeline
+    falls back to the dense exact scan instead of a Mosaic compile error."""
+    import two_tower_models_tpu.ops.pallas.mips_topk as M
+
+    from two_tower_models_tpu.retrieval.mips import mips_topk
+
+    # budget too small for even a 128-query block at k=4
+    monkeypatch.setattr(M, "_GATHER_SMEM_BYTES", 4 * 4 * 64)
+    assert M._gather_query_block(512, 4) is None
+    c, d, b, k = 4096, 16, 96, 4
+    corpus = jax.random.normal(jax.random.key(2), (c, d), jnp.float32)
+    query = jax.random.normal(jax.random.key(3), (b, d), jnp.float32)
+    idx, scores, emb = M.mips_topk_exact_pallas(corpus, query, k)
+    ref_idx, ref_scores, ref_emb = mips_topk(corpus, query, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-6
+    )
+    # masked variant takes the dense-fallback-with-padding branch
+    idx2, _, _ = M.mips_topk_exact_pallas(corpus, query, k, valid_count=c)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(ref_idx))

@@ -216,6 +216,24 @@ _GATHER_SMEM_BYTES = 512 * 1024
 _PRUNED_SELECT = False
 
 
+def _gather_query_block(b: int, k: int):
+    """Largest lane-aligned query block whose [qblk, k] i32 tile-index
+    operand fits the gather kernel's SMEM budget.
+
+    Returns ``None`` when even a 128-query block overflows the budget
+    (k > _GATHER_SMEM_BYTES / (4*128) = 1024 at the default budget) — the
+    caller must fall back to the dense exact scan (ADVICE r4: the old
+    floor-at-256 guard re-exceeded the budget for k >= 512 and overflowed
+    v5e's 1 MB SMEM outright at k >= 1024).
+    """
+    max_qblk = (_GATHER_SMEM_BYTES // (4 * max(k, 1))) // 128 * 128
+    if max_qblk < 128:
+        return None
+    if b <= max_qblk:
+        return b
+    return max_qblk
+
+
 def _pipeline_select(scores_t: jnp.ndarray, k: int):
     """Pass-2/4 selection entry: flat tournament by default (see
     _PRUNED_SELECT)."""
@@ -567,30 +585,28 @@ def mips_topk_exact_pallas(
     b = query.shape[0]
     k = min(k, c)
     n_tiles = -(-c // tile)
-    if k * tile >= c or n_tiles < k:
-        # corpus too small for tile pruning — one dense scan (no SMEM
-        # constraint, so it runs before any query blocking)
+    # Bound the gather kernel's scalar-prefetch operand: the [B, k] i32
+    # tile-index array lives in SMEM (1 MB/core on v5e), so B·k·4 bytes
+    # above ~1 MB fails Mosaic compilation (hit at B=4096, k=100 — the
+    # mns_scale eval).  Large query batches run the pipeline in
+    # lane-aligned blocks under a scan; 512 KB leaves headroom for other
+    # SMEM users.  The bench shape (B=1024, k=100 = 400 KB) stays one
+    # dispatch.  qblk is None when no block size fits (k > 1024): the
+    # pipeline cannot run and the dense scan below is the exact fallback.
+    qblk = _gather_query_block(b, k)
+    if k * tile >= c or n_tiles < k or qblk is None:
+        # corpus too small for tile pruning, or k too large for the gather
+        # kernel's SMEM budget — one dense scan (no SMEM constraint)
         if valid_count is None:
             return mips_topk(corpus, query, k)
-        # small-corpus fallback with padded rows: mask them before selecting
+        # dense fallback with padded rows: mask them before selecting
         full = jnp.dot(query, corpus.T, preferred_element_type=jnp.float32)
         fcol = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
         full = jnp.where(fcol < jnp.asarray(valid_count), full, _NEG_INF)
         scores, idx = jax.lax.top_k(full, k)
         return idx, scores, jnp.take(corpus, idx, axis=0)
 
-    # Bound the gather kernel's scalar-prefetch operand: the [B, k] i32
-    # tile-index array lives in SMEM (1 MB/core on v5e), so B·k·4 bytes
-    # above ~1 MB fails Mosaic compilation (hit at B=4096, k=100 — the
-    # mns_scale eval).  Large query batches run the pipeline in even
-    # blocks under a scan; 512 KB leaves headroom for rounding and other
-    # SMEM users.  The bench shape (B=1024, k=100 = 400 KB) stays one
-    # dispatch.
-    smem_limit_b = max(256, _GATHER_SMEM_BYTES // (4 * max(k, 1)))
-    if b > smem_limit_b:
-        nq = -(-b // smem_limit_b)
-        qblk = -(-b // nq)
-        qblk += (-qblk) % 256  # even, lane-friendly blocks
+    if b > qblk:
         nq = -(-b // qblk)
         qpad = nq * qblk - b
         q_all = jnp.pad(query, ((0, qpad), (0, 0))) if qpad else query

@@ -560,8 +560,9 @@ def make_sharded_train_step(
         raise NotImplementedError(
             "grad_clip_norm inside the explicit shard_map step would clip "
             "on per-chip grad norms (table grads are model-shard-local); "
-            "use the GSPMD step (MeshConfig.gspmd=True), where the "
-            "partitioner computes the true global norm"
+            "use the GSPMD step (MeshConfig.explicit_collectives=False, "
+            "CLI --gspmd), where the partitioner computes the true global "
+            "norm"
         )
     tx = make_optimizer(train_cfg)
 
