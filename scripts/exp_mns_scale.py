@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 43])
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--skew", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=3e-3,
+                   help="3e-3 is the unskewed anchor's rate; under skew the "
+                        "PLAIN arm diverges at it even with grad_clip=1.0 "
+                        "(duplicate head positives) — the companion run at "
+                        "1e-3 gives the un-diverged comparison")
     p.add_argument("--arms", nargs="+",
                    default=["plain", "logq", "mns+logq", "stream+mns+logq"],
                    help="stream+mns+logq replaces the oracle catalog_logq "
@@ -102,7 +107,7 @@ def main(argv=None):
         train_c = TrainConfig(
             batch_size=scale["batch_size"],
             num_epochs=args.epochs,
-            learning_rate=3e-3,
+            learning_rate=args.lr,
             # Zipf batches carry hundreds of duplicate head positives; the
             # unclipped anchor run diverged by epoch 7 (grad norm 0.12 ->
             # 4.7, CE 8.3 -> 13 — BASELINE r4).  1.0 sits ~8x above healthy

@@ -192,28 +192,47 @@ def lane_block_plan(
     """Id-dependent half of merge_lane_blocks: (phys_ids [N], bits [N],
     pos [P, N], found [P, N], keep [N]).  Depends only on the id set, so one
     plan serves every row array written back for the same batch (table, mu,
-    nu on the lazy-Adam path — the searchsorted passes are the expensive
-    part at ~139k rows/step).
+    nu on the lazy-Adam path).
 
-    Scatter-free: for each lane block c, the (unique) slot holding logical id
-    phys*P + c is found with one searchsorted and its contribution gathered —
-    P gathers instead of an XLA scatter, whose constants dominate at large N.
+    Scatter- AND searchsorted-free: the P lane partners of a physical row
+    are the consecutive LOGICAL-run first slots inside that row's run of
+    equal ``ids // pack`` — already adjacent in the sorted order (nothing
+    sorts between phys*P and phys*P + P - 1).  So each partner is reached
+    by hopping the next-first-slot chain from the phys run's start:
+    P cheap int32 gathers instead of P searchsorted passes, whose ~log2(N)
+    serial gather rounds measured 39.5 ms of the 110 ms lazy step at
+    N=135k (scripts/decompose_lazy.py).
     """
     n = sorted_ids.shape[0]
     ids = sorted_ids.astype(jnp.int32)
     phys = ids // pack
-    pos_c, found_c = [], []
+    iota = jnp.arange(n, dtype=jnp.int32)
+    firsts_log = ~dup_mask
+    # first slot of this slot's PHYS run
+    phys_dup = jnp.concatenate([jnp.zeros((1,), bool), phys[1:] == phys[:-1]])
+    phys_first = jax.lax.cummax(jnp.where(phys_dup, jnp.int32(-1), iota))
+    # next logical-run first slot STRICTLY AFTER i: reverse-cummin of first
+    # positions, shifted left (n at the end = "none")
+    rn = jax.lax.cummin(
+        jnp.where(firsts_log, iota, jnp.int32(n)), reverse=True
+    )
+    next_first = jnp.concatenate([rn[1:], jnp.full((1,), n, jnp.int32)])
+
+    pos_c = [jnp.zeros((n,), jnp.int32) for _ in range(pack)]
+    found_c = [jnp.zeros((n,), bool) for _ in range(pack)]
     bits = jnp.zeros((n,), jnp.int32)
-    for c in range(pack):
-        want = phys * pack + c
-        raw = jnp.searchsorted(ids, want).astype(jnp.int32)
-        pos = jnp.minimum(raw, n - 1)
-        found = (jnp.take(ids, pos) == want) & (raw < n)
-        pos_c.append(pos)
-        found_c.append(found)
-        bits = bits | jnp.where(found, jnp.int32(1) << c, 0)
-    firsts = jnp.concatenate([jnp.ones((1,), bool), phys[1:] != phys[:-1]])
-    bits = jnp.where(firsts, bits, 0)  # non-first run slots: masked no-ops
+    j = phys_first  # hop 0: the phys run's first slot (always in bounds)
+    for _ in range(pack):
+        jc = jnp.minimum(j, n - 1)
+        valid = (j < n) & (jnp.take(phys, jc) == phys)
+        c_j = jnp.take(ids, jc) - phys * pack  # lane block of this partner
+        for c in range(pack):
+            hit = valid & (c_j == c)
+            pos_c[c] = jnp.where(hit, jc, pos_c[c])
+            found_c[c] = found_c[c] | hit
+            bits = bits | jnp.where(hit, jnp.int32(1) << c, 0)
+        j = jnp.take(next_first, jc)  # hop to the next logical run
+    bits = jnp.where(~phys_dup, bits, 0)  # non-first run slots: masked no-ops
     return phys, bits, jnp.stack(pos_c), jnp.stack(found_c), ~dup_mask
 
 

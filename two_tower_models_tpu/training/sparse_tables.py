@@ -88,12 +88,28 @@ def build_minibatch(
     }
 
     def prep(name, ids):
+        """Sort + gather the minitable + remap every original occurrence.
+
+        The remap (occurrence -> FIRST sorted slot of its id) used to be
+        ``searchsorted(s, field)`` per field, but XLA lowers searchsorted
+        to ~log2(N) serial gather rounds — measured 20 ms for the B*H
+        history remap alone at 4M-row tables (scripts/decompose_lazy.py).
+        The argsort already knows every occurrence's slot: invert it and
+        push each slot to its run's first index (one cummax), which is
+        bit-identical to the searchsorted result for present ids.
+        """
         from two_tower_models_tpu.nn.packed_table import _packed_gather, is_packed
 
-        s = jnp.sort(ids)
-        dup = jnp.concatenate(
-            [jnp.zeros((1,), bool), s[1:] == s[:-1]]
-        )
+        n = ids.shape[0]
+        order = jnp.argsort(ids)
+        s = jnp.take(ids, order)
+        dup = jnp.concatenate([jnp.zeros((1,), bool), s[1:] == s[:-1]])
+        iota = jnp.arange(n, dtype=jnp.int32)
+        first_sorted = jax.lax.cummax(jnp.where(dup, jnp.int32(-1), iota))
+        # inverse permutation: argsort of a permutation is its inverse (an
+        # int32 sort beats an XLA scatter-SET here)
+        inv = jnp.argsort(order)
+        remap_all = jnp.take(first_sorted, inv)  # slot per ORIGINAL position
         table = params[name]
         if is_packed(table, dims[name]):
             # minitables are LOGICAL [N, D] rows regardless of storage layout
@@ -101,25 +117,28 @@ def build_minibatch(
         else:
             params2[name] = jnp.take(table, s, axis=0)  # [N, D]
         meta[name] = (s, dup)
-        return s
+        return remap_all
 
-    s_user = prep("user_id_table", user_ids)
-    s_item = prep("item_id_table", item_ids)
+    remap_user = prep("user_id_table", user_ids)
+    remap_item = prep("item_id_table", item_ids)
 
-    remap_u = jnp.searchsorted(s_user, batch.user_id).astype(jnp.int32)
-    remap_i = jnp.searchsorted(s_item, batch.item_id).astype(jnp.int32)
-    batch2 = batch._replace(user_id=remap_u, item_id=remap_i)
+    b = batch.item_id.shape[0]
+    batch2 = batch._replace(
+        user_id=remap_user.reshape(batch.user_id.shape),
+        item_id=remap_item[:b],
+    )
+    off = b
     if model_cfg.history_encoder is not None:
+        h = batch.user_history.size
         batch2 = batch2._replace(
-            user_history=jnp.searchsorted(
-                s_item, batch.user_history
-            ).astype(jnp.int32)
+            user_history=remap_item[off : off + h].reshape(
+                batch.user_history.shape
+            )
         )
+        off += h
     if batch.neg_item_id is not None:
         batch2 = batch2._replace(
-            neg_item_id=jnp.searchsorted(
-                s_item, batch.neg_item_id
-            ).astype(jnp.int32)
+            neg_item_id=remap_item[off:].reshape(batch.neg_item_id.shape)
         )
     return params2, batch2, meta
 
