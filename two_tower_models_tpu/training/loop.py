@@ -30,11 +30,7 @@ from two_tower_models_tpu.config import (
     preset,
 )
 from two_tower_models_tpu.retrieval.mips import refresh_corpus
-from two_tower_models_tpu.training.data import (
-    epoch_batches,
-    gather_batch,
-    make_synthetic_data,
-)
+from two_tower_models_tpu.training.data import gather_batch, make_synthetic_data
 from two_tower_models_tpu.training.state import create_train_state
 from two_tower_models_tpu.training.step import make_eval_recall_fn, make_train_step
 from two_tower_models_tpu.utils.logging import JsonlLogger
@@ -303,6 +299,29 @@ def _train_inner(
     # into one jitted call.  Single-step fallback handles epoch remainders.
     k_dispatch = max(1, train_cfg.steps_per_dispatch)
     single_step = _make_single() if k_dispatch > 1 else train_step
+
+    # Single-chip fast path: ONE jitted call per dispatch.  The eager version
+    # issues several tiny device ops per dispatch (the per-batch perm slices,
+    # jnp.stack of the index buffer, and the loss_sum accumulation), each a
+    # host->device round trip — on a remote/tunneled TPU those RPCs dominate
+    # the loop (measured: the steady-state loop ran 2-4x slower than the bare
+    # step, BASELINE.md round-5).  Folding index slicing + K-step dispatch +
+    # loss accumulation into one jit makes the loop cost exactly one dispatch
+    # per K steps.  Mesh/multihost paths keep their sharding-annotated entry
+    # (resharding on entry / host-local batch assembly cannot move into this
+    # jit).
+    fused_dispatch = None
+    if mesh is None:
+        _k, _b = k_dispatch, train_cfg.batch_size
+
+        def _disp(state, loss_sum, d, perm, start):
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, _k * _b)
+            if _k > 1:
+                idx = idx.reshape(_k, _b)
+            state, metrics = train_step(state, d, idx)
+            return state, metrics, loss_sum + metrics["loss"] * _k
+
+        fused_dispatch = jax.jit(_disp, donate_argnums=(0, 1))
     recall_fn = make_eval_recall_fn(model_cfg, train_cfg.eval_top_k)
 
     ckpt_mgr = None
@@ -422,51 +441,55 @@ def _train_inner(
         loss_sum = jnp.zeros(())
         t0 = time.monotonic()
         n_run = 0
-        idx_buf = []
-        profiling = [False]
-        for i, idx in enumerate(
-            epoch_batches(key, data.num_samples, train_cfg.batch_size)
-        ):
-            if i < skip:
-                continue
-            n_run += 1
-            examples += train_cfg.batch_size
+        profiling = False
+        # One device op per epoch; batches are slices of this permutation.
+        # (epoch_batches yields exactly these slices — kept for API users.)
+        perm = jax.random.permutation(key, data.num_samples)
+        bsz = train_cfg.batch_size
+        i = skip
+        while i < n_batches:
+            # Full K-step dispatches while they fit; the epoch remainder
+            # (n_batches % K trailing batches) runs as single steps.
+            take = k_dispatch if i + k_dispatch <= n_batches else 1
             # Profile a small post-warmup window of epoch 0: the dispatch(es)
             # covering steps 3..7 (dispatch-granular when k_dispatch > 1).
             if (
                 train_cfg.profile_dir and epoch == 0
-                and i - len(idx_buf) <= 3 <= i
-                and not profiling[0]
+                and not profiling and i <= 3 < i + take
             ):
                 jax.profiler.start_trace(train_cfg.profile_dir)
-                profiling[0] = True
-            if k_dispatch > 1:
-                # buffer K batch-index rows into one jitted dispatch
-                idx_buf.append(idx)
-                if len(idx_buf) < k_dispatch and i + 1 < n_batches:
-                    continue
-                executed = len(idx_buf)
-                if executed == k_dispatch:
-                    state, metrics = train_step(state, data, jnp.stack(idx_buf))
-                    # multi-step metrics are K-step means; sum-equivalent:
-                    loss_sum = loss_sum + metrics["loss"] * k_dispatch
-                else:  # epoch remainder: single steps
-                    for one in idx_buf:
-                        state, metrics = single_step(state, data, one)
-                        loss_sum = loss_sum + metrics["loss"]
-                idx_buf = []
-            else:
-                executed = 1
+                profiling = True
+            if fused_dispatch is not None and take == k_dispatch:
+                # single-chip: index slicing + K steps + loss accumulation in
+                # ONE dispatch (zero eager device ops per iteration)
+                state, metrics, loss_sum = fused_dispatch(
+                    state, loss_sum, data, perm, i * bsz
+                )
+            elif take == k_dispatch and k_dispatch > 1:
+                idx = jnp.stack(
+                    [perm[(i + j) * bsz : (i + j + 1) * bsz]
+                     for j in range(k_dispatch)]
+                )
                 state, metrics = train_step(state, data, idx)
+                # multi-step metrics are K-step means; sum-equivalent:
+                loss_sum = loss_sum + metrics["loss"] * k_dispatch
+            else:
+                state, metrics = single_step(
+                    state, data, perm[i * bsz : (i + 1) * bsz]
+                )
                 loss_sum = loss_sum + metrics["loss"]  # stays on device
-            if train_cfg.profile_dir and epoch == 0 and i >= 7 and profiling[0]:
+            executed = take
+            n_run += executed
+            examples += executed * bsz
+            i += take
+            if train_cfg.profile_dir and epoch == 0 and profiling and i > 7:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                profiling[0] = False
+                profiling = False
                 logger.log("profile_written", dir=train_cfg.profile_dir)
             # Host-side step counter: int(state.step) would force a
             # host-device sync EVERY iteration, serializing async dispatch.
-            global_step = epoch * n_batches + i + 1
+            global_step = epoch * n_batches + i
             _gate = lambda every: _hits_gate(every, global_step, executed)
             if _gate(train_cfg.log_every):
                 logger.log_metrics("step", metrics, epoch=epoch, step=int(state.step))
