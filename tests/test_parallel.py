@@ -549,11 +549,12 @@ def test_gspmd_step_parity_with_single_chip():
 
 @requires_8
 def test_packed_table_mesh_routing():
-    """Round 4 lifted the packed-vs-mesh mutual exclusion (VERDICT r3 #3):
-    the EXPLICIT path row-shards packed [Vp/P, P·D] leaves natively (full
-    trajectory parity lives in tests/test_packed_mesh.py), while the GSPMD
-    path — which partitions the single-chip model and has no packed-gather
-    partitioning story — must still reject packed leaves loudly."""
+    """Packed [Vp/P, P·D] leaves run on BOTH mesh paths (VERDICT r3 #3):
+    the explicit shard_map path row-shards them natively, and since commit
+    12d91f6 the GSPMD path partitions the packed gather/scatter exactly like
+    a plain table's (trajectory-level packed-vs-plain parity lives in
+    tests/test_packed_mesh.py).  Sharded steps donate their state, so every
+    entry gets a fresh one."""
     from two_tower_models_tpu.parallel.train_step import make_gspmd_train_step
 
     tcfg = TrainConfig(
@@ -563,25 +564,29 @@ def test_packed_table_mesh_routing():
     mesh = make_mesh(mesh_cfg)
     batch = make_batch(jax.random.key(1), CFG, 16)
 
-    # explicit shard_map path: packed leaves accepted end to end
-    state = shard_state(
-        create_train_state(
-            jax.random.key(0), CFG, tcfg, model_shards=mesh_cfg.model
-        ),
-        mesh,
-    )
+    def fresh_state():
+        return shard_state(
+            create_train_state(
+                jax.random.key(0), CFG, tcfg, model_shards=mesh_cfg.model
+            ),
+            mesh,
+        )
+
+    state = fresh_state()
     assert state.params["user_id_table"].shape[-1] != CFG.user_id_embedding_dim
+
+    # explicit shard_map path: packed leaves accepted end to end
     step = make_sharded_train_step(CFG, tcfg, mesh, mesh_cfg)
-    out_state, metrics = step(state, batch)
+    _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
 
-    # GSPMD path: packed leaves rejected with routing advice
-    gspmd = make_gspmd_train_step(CFG, tcfg, mesh)
-    with pytest.raises(ValueError, match="packed"):
-        gspmd(state, batch)
+    # GSPMD path: packed leaves accepted too (partitioned like plain ones)
+    gspmd = make_gspmd_train_step(CFG, tcfg, mesh, mesh_cfg)
+    _, metrics_g = gspmd(fresh_state(), batch)
+    assert np.isfinite(float(metrics_g["loss"]))
 
-    # pack=False (what training/loop.py passes on the GSPMD path) works
+    # pack=False works on the same explicit step (shape-keyed retrace)
     state2 = create_train_state(jax.random.key(0), CFG, tcfg, pack=False)
     state2 = shard_state(state2, mesh)
-    out_state2, metrics2 = step(state2, batch)
+    _, metrics2 = step(state2, batch)
     assert np.isfinite(float(metrics2["loss"]))
