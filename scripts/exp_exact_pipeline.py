@@ -97,13 +97,14 @@ def main():
     query = jax.random.normal(jax.random.key(1), (B, D), jnp.bfloat16)
 
     defaults = dict(RING=M._RING, P4=M._PASS4_MIN_POOL, PACK=M._PACK,
-                    PRUNED=M._PRUNED_SELECT)
+                    PRUNED=M._PRUNED_SELECT, UNROLL=M._GATHER_UNROLL)
 
     def reset():
         M._RING = defaults["RING"]
         M._PASS4_MIN_POOL = defaults["P4"]
         M._PACK = defaults["PACK"]
         M._PRUNED_SELECT = defaults["PRUNED"]
+        M._GATHER_UNROLL = defaults["UNROLL"]
 
     for v in args.variants.split(","):
         reset()
@@ -136,6 +137,20 @@ def main():
             M._RING = 16
         elif v == "ring32":
             M._RING = 32
+        elif v == "ring128":
+            M._RING = 128
+            note = "all k DMAs issued up-front; drain loop waits only"
+        elif v == "unroll4":
+            M._GATHER_UNROLL = 4
+            note = "drain loop unrolled 4x (scalar issue overhead lever)"
+        elif v == "unroll8":
+            M._GATHER_UNROLL = 8
+        elif v == "unroll4_ring32":
+            M._GATHER_UNROLL = 4
+            M._RING = 32
+        elif v == "unroll8_ring128":
+            M._GATHER_UNROLL = 8
+            M._RING = 128
         else:
             print(f"unknown variant {v}", file=sys.stderr)
             continue

@@ -10,6 +10,11 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r5
+# Slow-compile days (r3/r5 symptom: minutes per remote compile) make every
+# arm pay full recompiles; the persistent cache serves repeat programs
+# (bench0/bench1, the loop arms' shared shapes) from disk instead.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 ANCHOR_ARGS="--preset two_tower_with_user_history_encoder \
   --num_users 65536 --num_items 65536 \

@@ -43,6 +43,13 @@ from two_tower_models_tpu.ops.pallas.fused_softmax import _interpret
 _NEG_INF = float("-inf")
 _QG = 8  # queries per gather_rescore program (f32 sublane granularity)
 _RING = 8  # in-flight tile DMAs per sub-query
+# Unroll factor for the gather drain loop: pass 3 is DMA-ISSUE-bound (the r4
+# ablation: doubling DMA bytes via nopack cost only ~5%, so the scalar core's
+# per-iteration wait/start overhead — not HBM bandwidth — sets the pass time).
+# Unrolling amortizes the fori_loop's scalar bookkeeping across several
+# wait/start pairs per trip.  1 = the r4 shape (sweepable in
+# scripts/exp_exact_pipeline.py).
+_GATHER_UNROLL = 1
 
 
 # ---------------------------------------------------------------------------
@@ -459,20 +466,41 @@ def _gather_rescore_kernel(
     # sub-query boundaries.  Safe: the i-1 user of buffer (i+1) % 2 finished
     # all its waits and its matmul read before warm(i+1) issues.
     warm(0)
+    u = max(1, min(_GATHER_UNROLL, k))
     for i in range(_QG):
         if i + 1 < _QG:
             warm(i + 1)
 
-        def steady(j, _):
+        def pair(i, j):
+            # j may be traced (loop body) or static (tail); same semantics
             dma(i, j).wait()
+            if isinstance(j, int):  # static tail: resolve the guard in Python
+                if j + _RING < k:
+                    dma(i, j + _RING).start()
+            else:
 
-            @pl.when(j + _RING < k)
-            def _():
-                dma(i, j + _RING).start()
+                @pl.when(j + _RING < k)
+                def _():
+                    dma(i, j + _RING).start()
 
-            return 0
+        if u == 1:
 
-        jax.lax.fori_loop(0, k, steady, 0)
+            def steady(j, _):
+                pair(i, j)
+                return 0
+
+            jax.lax.fori_loop(0, k, steady, 0)
+        else:
+            # unrolled drain: u wait/start pairs per scalar-loop trip, then a
+            # statically-unrolled tail for k % u
+            def steady_u(jj, _):
+                for t in range(u):
+                    pair(i, jj * u + t)
+                return 0
+
+            jax.lax.fori_loop(0, k // u, steady_u, 0)
+            for j in range((k // u) * u, k):
+                pair(i, j)
 
         out_ref[i] = jax.lax.dot_general(
             q_ref[i], cand_ref[i % 2],
