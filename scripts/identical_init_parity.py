@@ -7,6 +7,12 @@ match across seeds; this removes init variance entirely and checks the loss
 RECIPE is the same function, to float tolerance, on the base-retrieval
 config (SURVEY §2.2 semantics; the reference's runnable surface).
 
+``--import_check`` verifies the OPPOSITE direction through the public
+interop API (two_tower_models_tpu.interop): a TORCH-initialized reference's
+``state_dict()`` imports via ``params_from_reference_state_dict`` and
+reproduces the torch train loss — the migration path for reference users
+with existing checkpoints.
+
 Run: PYTHONPATH=/root/reference python scripts/identical_init_parity.py
 """
 
@@ -27,6 +33,107 @@ U, I, DU, DI, IU, II, B, C = 128, 256, 24, 16, 6, 6, 32, 64
 T = 2
 UVW = [1.0, 0.5]
 NUM_ITEMS = 10
+
+
+def _import_check():
+    """Torch-initialized reference -> state_dict -> interop import -> same
+    loss.  Covers base and history+position-debias (the reference's runnable,
+    shape-clean surface — see _history_variant on why combined-debias can't
+    match bitwise)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from two_tower_models_tpu.config import Debias, HistoryEncoderConfig, ModelConfig
+    from two_tower_models_tpu.interop import params_from_reference_state_dict
+    from two_tower_models_tpu.models import two_tower
+
+    from src.baseline_mips_module import BaselineMIPSModule
+    from src.two_tower_base_retrieval import TwoTowerBaseRetrieval
+    from src.two_tower_with_position_debiased_weights import (
+        TwoTowerWithPositionDebiasedWeights,
+    )
+
+    H = 8
+    all_ok = True
+    for name, make_ref, cfg in (
+        (
+            "two_tower_base_retrieval",
+            lambda m: TwoTowerBaseRetrieval(
+                num_items=NUM_ITEMS,
+                user_id_hash_size=U, user_id_embedding_dim=DU,
+                user_features_size=IU,
+                item_id_hash_size=I, item_id_embedding_dim=DI,
+                item_features_size=II,
+                user_value_weights=UVW, mips_module=m,
+            ),
+            ModelConfig(
+                user_id_hash_size=U, user_id_embedding_dim=DU,
+                item_id_hash_size=I, item_id_embedding_dim=DI,
+                user_features_size=IU, item_features_size=II,
+                user_value_weights=tuple(UVW), num_items=NUM_ITEMS,
+                history_len=1,
+            ),
+        ),
+        (
+            "two_tower_with_position_debiased_weights",
+            lambda m: TwoTowerWithPositionDebiasedWeights(
+                num_items=NUM_ITEMS,
+                user_id_hash_size=U, user_id_embedding_dim=DU,
+                user_features_size=IU, user_history_seqlen=H,
+                item_id_hash_size=I, item_id_embedding_dim=DI,
+                item_features_size=II,
+                user_value_weights=UVW, mips_module=m,
+            ),
+            ModelConfig(
+                user_id_hash_size=U, user_id_embedding_dim=DU,
+                item_id_hash_size=I, item_id_embedding_dim=DI,
+                user_features_size=IU, item_features_size=II,
+                user_value_weights=tuple(UVW), num_items=NUM_ITEMS,
+                history_len=H, history_encoder=HistoryEncoderConfig(),
+                debias=Debias.POSITION,
+            ),
+        ),
+    ):
+        torch.manual_seed(7)
+        ref = make_ref(BaselineMIPSModule(corpus_size=C, embedding_dim=DI))
+        params = params_from_reference_state_dict(ref.state_dict(), cfg)
+
+        rng = np.random.default_rng(2)
+        hlen = cfg.history_len
+        user_id = rng.integers(0, U, B)
+        user_feat = rng.normal(size=(B, IU)).astype(np.float32)
+        hist = rng.integers(0, I, (B, hlen))
+        item_id = rng.integers(0, I, B)
+        item_feat = rng.normal(size=(B, II)).astype(np.float32)
+        position = rng.integers(0, 100, B)
+        labels = rng.integers(0, 2, (B, T)).astype(np.float32)
+
+        with torch.no_grad():
+            loss_t = ref.train_forward(
+                torch.from_numpy(user_id), torch.from_numpy(user_feat),
+                torch.from_numpy(hist), torch.from_numpy(item_id),
+                torch.from_numpy(item_feat), torch.from_numpy(position),
+                torch.from_numpy(labels),
+            )
+        batch = two_tower.Batch(
+            user_id=jnp.asarray(user_id), user_features=jnp.asarray(user_feat),
+            user_history=jnp.asarray(hist), item_id=jnp.asarray(item_id),
+            item_features=jnp.asarray(item_feat),
+            position=jnp.asarray(position), labels=jnp.asarray(labels),
+        )
+        loss_j, _ = two_tower.train_loss(params, cfg, batch)
+        gap = abs(float(loss_t) - float(loss_j))
+        ok = gap < 1e-4 * max(1.0, abs(float(loss_t)))
+        all_ok = all_ok and ok
+        print(json.dumps({
+            "import_check": name,
+            "train_loss_torch": round(float(loss_t), 8),
+            "train_loss_jax_imported": round(float(loss_j), 8),
+            "abs_gap": gap,
+            "loss_parity": bool(ok),
+        }))
+    return all_ok
 
 
 def main():
@@ -133,7 +240,8 @@ def main():
     }))
 
     ok_hist = _history_variant()
-    return 0 if (ok_loss and ok_topk and ok_hist) else 1
+    ok_import = _import_check()
+    return 0 if (ok_loss and ok_topk and ok_hist and ok_import) else 1
 
 
 def _history_variant():
@@ -242,4 +350,9 @@ def _history_variant():
 
 
 if __name__ == "__main__":
+    if "--import_check" in sys.argv[1:]:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sys.exit(0 if _import_check() else 1)
     sys.exit(main())
