@@ -59,13 +59,19 @@ def main(argv=None):
     else:
         B, N, tables, dim, H = 4096, 2_097_152, 65536, 64, 32
 
-    model = preset(
+    from two_tower_models_tpu.config import resolve_kernel_flags
+
+    model = resolve_kernel_flags(preset(
         "two_tower_with_user_history_encoder",
         user_id_hash_size=tables, item_id_hash_size=tables,
         user_id_embedding_dim=dim, item_id_embedding_dim=dim,
         user_features_size=16, item_features_size=16,
         history_len=H, compute_dtype="bfloat16",
-    )
+    ))
+    # NOTE the round-5 pre-fix run of this script (kernel flags plainly
+    # False) measured step_small_k1 = 31.2 ms vs bench's 6.6 ms at the same
+    # shape — the loop had been running the dense XLA path; that finding
+    # motivated the AUTO kernel flags this script now resolves.
     dcfg = DataConfig(
         num_samples=N, num_users=tables, num_items=tables,
         feature_dim=16, history_len=H, num_tasks=model.num_tasks,

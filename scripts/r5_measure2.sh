@@ -27,8 +27,13 @@ run() { # name timeout_s cmd...
   return 0
 }
 
-run exact_unroll 3600 python scripts/exp_exact_pipeline.py --verify \
-  --variants default,unroll4,unroll8,ring16,ring128,unroll4_ring32,unroll8_ring128
+# unroll4 measured FLAT vs default (18.07 vs 18.06 ms) and unroll8's Mosaic
+# compile ran >15 min without finishing — scalar issue overhead is not the
+# binding constraint; the ring arms (DMA concurrency) are the live question.
 run loop_gap    3600 python scripts/exp_loop_gap.py
+run exact_ring  2700 python scripts/exp_exact_pipeline.py --verify \
+  --variants ring16,ring128
+run exact_ring2 2700 python scripts/exp_exact_pipeline.py \
+  --variants unroll4_ring32
 run parity      3600 python scripts/tpu_kernel_parity.py
 echo "SWEEP2 COMPLETE $(date -u)"

@@ -67,7 +67,12 @@ class HistoryEncoderConfig:
     # leaves VMEM between layers and the final layer computes only query
     # row 0 (the only row the encoder's contract consumes).  Supersedes
     # fused_kernel when set.
-    fused_encoder: bool = False
+    # None = AUTO: enabled iff running on TPU (resolve_kernel_flags — entry
+    # points resolve it; an unresolved None reads as False, the CPU path).
+    # Round-5 finding: with these flags plainly False, the training loop ran
+    # the dense XLA encoder/loss at ~31 ms/step while bench's explicitly
+    #-enabled step ran 6.6 ms — auto-resolution closes that 4.7x by default.
+    fused_encoder: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -181,7 +186,9 @@ class ModelConfig:
     # Fused Pallas softmax-CE kernel: the [B, B] logit matrix never
     # materializes in HBM (ops.pallas.fused_softmax).  Numerically equivalent
     # (parity-tested); pays off for global batches >= ~2k rows.
-    fused_loss: bool = False
+    # None = AUTO: enabled iff running on TPU (resolve_kernel_flags — entry
+    # points resolve it; an unresolved None reads as False, the CPU path).
+    fused_loss: bool | None = None
 
     @property
     def num_tasks(self) -> int:
@@ -388,6 +395,34 @@ class ExperimentConfig:
 
 def _hist() -> HistoryEncoderConfig:
     return HistoryEncoderConfig()
+
+
+def resolve_kernel_flags(cfg: ModelConfig) -> ModelConfig:
+    """Resolve AUTO (None) Pallas-kernel flags: enabled iff the default JAX
+    backend is a TPU.
+
+    The kernels are numerics-neutral but run INTERPRETED off-TPU (orders of
+    magnitude slower), so the right default is backend-dependent — and a
+    plain False default silently left the training loop on the dense XLA
+    path at ~4.7x the step time of the kernelized bench (round-5 finding,
+    BASELINE.md).  Entry points (training.loop.train, models.zoo builders,
+    bench/graft entries) call this once; explicit True/False pass through
+    untouched, so parity/ablation configs are unaffected.
+    """
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    out = cfg
+    if cfg.fused_loss is None:
+        out = dataclasses.replace(out, fused_loss=on_tpu)
+    he = cfg.history_encoder
+    if he is not None and he.fused_encoder is None:
+        # explicit per-layer / blockwise choices win over the auto default
+        auto = on_tpu and not (he.fused_kernel or he.blockwise_kernel)
+        out = dataclasses.replace(
+            out, history_encoder=dataclasses.replace(he, fused_encoder=auto)
+        )
+    return out
 
 
 def preset(name: str, **overrides) -> ModelConfig:

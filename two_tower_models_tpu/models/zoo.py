@@ -28,6 +28,10 @@ from two_tower_models_tpu.models import two_tower
 class TwoTowerModel:
     """Stateless handle: config + functional entry points.
 
+    AUTO (None) Pallas-kernel flags resolve against the live backend at
+    construction (config.resolve_kernel_flags) — reference-style builders
+    get TPU kernels on TPU and the dense path elsewhere, like the trainer.
+
     Usage:
         model = zoo.two_tower_base_retrieval(num_items=10, ...)
         params = model.init(jax.random.key(0))
@@ -36,6 +40,11 @@ class TwoTowerModel:
     """
 
     cfg: ModelConfig
+
+    def __post_init__(self):
+        from two_tower_models_tpu.config import resolve_kernel_flags
+
+        object.__setattr__(self, "cfg", resolve_kernel_flags(self.cfg))
 
     def init(self, key: jax.Array) -> Dict:
         return two_tower.init_params(key, self.cfg)

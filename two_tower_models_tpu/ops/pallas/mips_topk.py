@@ -42,7 +42,11 @@ from two_tower_models_tpu.ops.pallas.fused_softmax import _interpret
 
 _NEG_INF = float("-inf")
 _QG = 8  # queries per gather_rescore program (f32 sublane granularity)
-_RING = 8  # in-flight tile DMAs per sub-query
+# In-flight tile DMAs per sub-query.  r5 ablation on the flat-select
+# pipeline (1M x 64, B=1024, k=100): ring8 18.06 ms, ring16 16.76 (-7%),
+# ring128/all-up-front 18.97 (queue contention beyond ~32 in flight) —
+# 16 is the measured sweet spot; sweepable via exp_exact_pipeline.py.
+_RING = 16
 # Unroll factor for the gather drain loop: pass 3 is DMA-ISSUE-bound (the r4
 # ablation: doubling DMA bytes via nopack cost only ~5%, so the scalar core's
 # per-iteration wait/start overhead — not HBM bandwidth — sets the pass time).

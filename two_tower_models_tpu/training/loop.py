@@ -28,6 +28,7 @@ from two_tower_models_tpu.config import (
     PRESET_NAMES,
     TrainConfig,
     preset,
+    resolve_kernel_flags,
 )
 from two_tower_models_tpu.retrieval.mips import refresh_corpus
 from two_tower_models_tpu.training.data import gather_batch, make_synthetic_data
@@ -72,6 +73,9 @@ def train(
     when set mid-training the loop checkpoints (if configured) and returns
     early with ``summary["preempted"] = True``."""
     logger = logger or JsonlLogger()
+    # AUTO Pallas-kernel flags resolve against the live backend here (the
+    # dense XLA fallback costs ~4.7x per step on TPU — BASELINE.md round 5)
+    exp = replace(exp, model=resolve_kernel_flags(exp.model))
     model_cfg, train_cfg, data_cfg = exp.model, exp.train, exp.data
     prev_debug_nans = jax.config.jax_debug_nans
     if train_cfg.debug_nans:
